@@ -1,0 +1,186 @@
+"""PCAE decoder: learned templates + affine warp -> pixel GMM.
+
+Parity targets:
+  * TemplateGenerator (reference part_decoder.py:31-110): template logits
+    (1, M, C, Ht, Wt) initialized by QR-orthogonalization of a uniform
+    random square matrix, min-max normalized to [0,1]
+    (part_decoder.py:60-68); optional per-capsule color MLP [F,32,C] driven
+    by special features with the +.99 pre-shift when color_nonlin is relu1
+    (part_decoder.py:71-73,97-98).
+  * TemplateBasedImageDecoder (reference part_decoder.py:113-243):
+    per-template affine warp (here the matmul-form bilinear warp from
+    scae_tpu.ops.warp instead of affine_grid/grid_sample,
+    part_decoder.py:179-183), appended background component
+    (part_decoder.py:189-195), alpha-channel or temperature mixing logits
+    (part_decoder.py:198-217), optional learned output scale
+    (part_decoder.py:220-223), presence folded into mixing logits via
+    log_safe (part_decoder.py:225-231), GaussianMixture pdf
+    (part_decoder.py:233-237).
+
+One TPU-native divergence: with use_alpha_channel, mixing logits keep their
+broadcastable (B, M+1, 1, H, W) channel dim instead of materializing C
+copies — identical numerics under broadcasting, less HBM traffic.
+"""
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from scae_tpu.models.layers import MLP, choose_activation
+from scae_tpu.models.results import PartDecoderResult, TemplateResult
+from scae_tpu.ops.gmm import GaussianMixture
+from scae_tpu.ops.math_ops import log_safe
+from scae_tpu.ops.warp import bilinear_weight_matrices
+
+
+def _qr_template_init(n_templates, n_channels, template_size):
+    """QR-orthogonal template init (reference part_decoder.py:60-68)."""
+    shape = (1, n_templates, n_channels, *template_size)
+    n_elems = n_channels * template_size[0] * template_size[1]
+    n = max(n_templates, n_elems)
+
+    def init(key, *_):
+        q = jax.random.uniform(key, (n, n), jnp.float32)
+        q = jnp.linalg.qr(q)[0]
+        q = q[:n_templates, :n_elems].reshape(shape)
+        return (q - q.min()) / (q.max() - q.min())
+
+    return init, shape
+
+
+class TemplateGenerator(nn.Module):
+    """Learns M part templates; optionally colorizes them per input."""
+
+    n_templates: int                 # M
+    n_channels: int                  # C
+    template_size: Tuple[int, int]   # (Ht, Wt)
+    template_nonlin: str = "relu1"
+    dim_feature: Optional[int] = None  # F
+    colorize_templates: bool = False
+    color_nonlin: str = "relu1"
+
+    @nn.compact
+    def __call__(self, feature=None, batch_size=None):
+        if feature is not None:
+            batch_size = feature.shape[0]
+
+        init, shape = _qr_template_init(self.n_templates, self.n_channels,
+                                        self.template_size)
+        template_logits = self.param("template_logits", init, shape)
+        template_nonlin = choose_activation(self.template_nonlin)
+        raw_templates = template_nonlin(template_logits)  # (1, M, C, Ht, Wt)
+
+        if self.colorize_templates and feature is not None:
+            color_nonlin = choose_activation(self.color_nonlin)
+            # (B, M, F) -> (B, M, C); the reference flattens to (B*M, F)
+            # for its MLP — identical math, we keep the capsule axis.
+            template_color = MLP(
+                sizes=(self.dim_feature, 32, self.n_channels),
+                name="templates_color_mlp",
+            )(feature)
+            if self.color_nonlin == "relu1":
+                template_color = template_color + 0.99
+            template_color = color_nonlin(template_color)
+            templates = raw_templates * template_color[:, :, :, None, None]
+        else:
+            templates = jnp.broadcast_to(
+                raw_templates,
+                (batch_size, *raw_templates.shape[1:]))
+
+        return TemplateResult(raw_templates=raw_templates, templates=templates)
+
+
+class TemplateBasedImageDecoder(nn.Module):
+    """Renders part capsules to an image as a per-pixel Gaussian mixture."""
+
+    n_templates: int                  # M
+    template_size: Tuple[int, int]    # (Ht, Wt)
+    output_size: Tuple[int, int]      # (H, W)
+    learn_output_scale: bool = False
+    use_alpha_channel: bool = False
+    background_value: bool = True
+
+    @nn.compact
+    def __call__(self, templates, pose, presence=None, bg_image=None):
+        """
+        Args:
+          templates: (B, M, C, Ht, Wt)
+          pose: (B, M, 6) flat affine transforms
+          presence: optional (B, M)
+          bg_image: optional (B, C, H, W)
+
+        Returns:
+          PartDecoderResult with M+1 mixture components (background last).
+        """
+        B, M, C, Ht, Wt = templates.shape
+        H, W = self.output_size
+        P = H * W
+
+        # Shared bilinear tap weights for template and alpha warps.
+        Wx, Wy = bilinear_weight_matrices(pose, (Ht, Wt), (H, W))  # (B,M,P,·)
+
+        def warp(t):  # t: (B, M, c, Ht, Wt) -> (B, M, c, H, W)
+            s = jnp.einsum("bmpw,bmchw->bmpch", Wx, t)
+            out = jnp.einsum("bmpch,bmph->bmcp", s, Wy)
+            return out.reshape(B, M, t.shape[2], H, W)
+
+        transformed_templates = warp(templates)  # (B, M, C, H, W)
+
+        if bg_image is not None:
+            bg = bg_image[:, None]  # (B, 1, C, H, W)
+        else:
+            bg_value = self.param("bg_value", nn.initializers.zeros, (1,))
+            bg = jnp.broadcast_to(jax.nn.sigmoid(bg_value)[0],
+                                  (B, 1, C, H, W))
+
+        transformed_templates = jnp.concatenate(
+            [transformed_templates, bg], axis=1)  # (B, M+1, C, H, W)
+
+        if self.use_alpha_channel:
+            alpha = self.param("templates_alpha", nn.initializers.zeros,
+                               (1, M, 1, Ht, Wt))
+            alpha_b = jnp.broadcast_to(alpha, (B, M, 1, Ht, Wt))
+            alpha_logits = warp(alpha_b)  # (B, M, 1, H, W)
+
+            bg_mixing_logit = self.param("bg_mixing_logit",
+                                         nn.initializers.zeros, (1,))
+            bg_logit = jnp.broadcast_to(
+                jax.nn.softplus(bg_mixing_logit)[0], (B, 1, 1, H, W))
+            template_mixing_logits = jnp.concatenate(
+                [alpha_logits, bg_logit], axis=1)  # (B, M+1, 1, H, W)
+        else:
+            # torch init: temperature_logit ~ U[0, 1) (part_decoder.py:140)
+            temperature_logit = self.param(
+                "temperature_logit",
+                lambda k, s: jax.random.uniform(k, s, jnp.float32), (1,))
+            temperature = jax.nn.softplus(temperature_logit + 0.5) + 1e-4
+            template_mixing_logits = transformed_templates / temperature
+
+        if self.learn_output_scale:
+            scale_param = self.param(
+                "scale", lambda k, s: jax.random.uniform(k, s, jnp.float32),
+                (1,))
+            scale = jax.nn.softplus(scale_param) + 1e-4
+        else:
+            scale = jnp.asarray([1.0], dtype=templates.dtype)
+
+        if presence is not None:
+            bg_presence = jnp.ones((B, 1), presence.dtype)
+            full_presence = jnp.concatenate([presence, bg_presence], axis=1)
+            extra_dims = (1,) * (template_mixing_logits.ndim - 2)
+            full_presence = full_presence.reshape(B, M + 1, *extra_dims)
+            template_mixing_logits = (template_mixing_logits
+                                      + log_safe(full_presence))
+
+        pdf = GaussianMixture.make_from_stats(
+            loc=transformed_templates,
+            scale=scale,
+            mixing_logits=template_mixing_logits,
+        )
+        return PartDecoderResult(
+            transformed_templates=transformed_templates,
+            mixing_logits=template_mixing_logits,
+            pdf=pdf,
+        )

@@ -1,0 +1,179 @@
+"""Presence-masked Set Transformer (OCAE encoder).
+
+Parity target: reference ``torch_scae/set_transformer.py`` (itself derived
+from juho-lee/set_transformer): MultiHeadQKVAttention pads head dims up to
+a multiple of n_heads (set_transformer.py:60-61); MAB is a residual
+attention block with presence re-masking after the residual
+(set_transformer.py:118-133), optional LayerNorm (torch eps=1e-5), and an
+``h + relu(fc(h))`` feed-forward; SAB/ISAB/PMA wrap MAB; SetTransformer is
+fc1 -> n_layers x SAB/ISAB -> fc2 -> learned seeds -> final multi-head
+attention (set_transformer.py:174-223).
+
+TPU-native shape choice: heads are kept as a tensor axis and contracted
+with einsums rather than reshaped into a (H*B) pseudo-batch
+(set_transformer.py:95-103) — identical math, no transposes/copies.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from scae_tpu.models.layers import TorchLinear, xavier_uniform_torch
+from scae_tpu.ops.attention import _MASK
+
+
+class MultiHeadQKVAttention(nn.Module):
+    """Multi-head attention with the reference's mask-before-scale order."""
+
+    d_k: int
+    d_v: int
+    n_heads: int
+
+    @nn.compact
+    def __call__(self, queries, keys, values, presence=None):
+        H = self.n_heads
+        d_k_p = -(-self.d_k // H) * H  # pad to multiple of heads
+        d_v_p = -(-self.d_v // H) * H
+
+        q = TorchLinear(d_k_p, name="q_projector")(queries)
+        k = TorchLinear(d_k_p, name="k_projector")(keys)
+        v = TorchLinear(d_v_p, name="v_projector")(values)
+
+        B, N, _ = q.shape
+        M = k.shape[1]
+        q = q.reshape(B, N, H, d_k_p // H)
+        k = k.reshape(B, M, H, d_k_p // H)
+        v = v.reshape(B, M, H, d_v_p // H)
+
+        # routing per head; mask subtracted BEFORE the sqrt(d) scaling
+        # (set_transformer.py:40-43). d = per-head key dim, matching the
+        # reference where qkv_attention sees the split tensors.
+        routing = jnp.einsum("bnhd,bmhd->bhnm", q, k)
+        if presence is not None:
+            routing = routing - (1.0 - presence[:, None, None, :]) * _MASK
+        d_head = d_k_p // H
+        routing = jax.nn.softmax(
+            routing / jnp.sqrt(jnp.asarray(d_head, routing.dtype)), axis=-1)
+
+        o = jnp.einsum("bhnm,bmhd->bnhd", routing, v).reshape(B, N, d_v_p)
+        return TorchLinear(self.d_v, name="o_projector")(o)
+
+
+class MAB(nn.Module):
+    """Multihead Attention Block: residual attention + rFF."""
+
+    d: int
+    n_heads: int
+    layer_norm: bool = False
+
+    @nn.compact
+    def __call__(self, queries, keys, presence=None):
+        h = MultiHeadQKVAttention(d_k=self.d, d_v=self.d,
+                                  n_heads=self.n_heads,
+                                  name="mqkv")(queries, keys, keys, presence)
+        h = h + queries
+
+        if presence is not None:
+            h = h * presence[..., None]
+
+        if self.layer_norm:
+            h = nn.LayerNorm(epsilon=1e-5, name="ln0")(h)
+
+        h = h + jax.nn.relu(TorchLinear(self.d, name="fc")(h))
+        if self.layer_norm:
+            h = nn.LayerNorm(epsilon=1e-5, name="ln1")(h)
+        return h
+
+
+class SAB(nn.Module):
+    d: int
+    n_heads: int
+    layer_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x, presence=None):
+        return MAB(d=self.d, n_heads=self.n_heads,
+                   layer_norm=self.layer_norm, name="mab")(x, x, presence)
+
+
+class ISAB(nn.Module):
+    """Induced SAB: O(N*m) attention through m inducing points."""
+
+    d: int
+    n_heads: int
+    n_inducing_points: int
+    layer_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x, presence=None):
+        B = x.shape[0]
+        m, d = self.n_inducing_points, self.d
+        inducing = self.param("I", xavier_uniform_torch(m * d, d), (1, m, d))
+        h = MAB(d=d, n_heads=self.n_heads, layer_norm=self.layer_norm,
+                name="mab0")(jnp.broadcast_to(inducing, (B, m, d)), x,
+                             presence)
+        return MAB(d=d, n_heads=self.n_heads, layer_norm=self.layer_norm,
+                   name="mab1")(x, h)
+
+
+class PMA(nn.Module):
+    """Pooling by Multihead Attention over learned seed queries."""
+
+    d: int
+    n_heads: int
+    n_seeds: int
+    layer_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x, presence=None):
+        B = x.shape[0]
+        k, d = self.n_seeds, self.d
+        seeds = self.param("S", xavier_uniform_torch(k * d, d), (1, k, d))
+        return MAB(d=d, n_heads=self.n_heads, layer_norm=self.layer_norm,
+                   name="mab")(jnp.broadcast_to(seeds, (B, k, d)), x,
+                               presence)
+
+
+class SetTransformer(nn.Module):
+    """Permutation-invariant encoder: M part tokens -> O object encodings."""
+
+    dim_in: int
+    dim_hidden: int
+    dim_out: int
+    n_outputs: int
+    n_layers: int
+    n_heads: int
+    layer_norm: bool = False
+    n_inducing_points: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x, presence=None):
+        B = x.shape[0]
+        h = TorchLinear(self.dim_hidden, name="fc1")(x)
+
+        for i in range(self.n_layers):
+            if self.n_inducing_points is None:
+                h = SAB(d=self.dim_hidden, n_heads=self.n_heads,
+                        layer_norm=self.layer_norm,
+                        name=f"sab_{i}")(h, presence)
+            else:
+                h = ISAB(d=self.dim_hidden, n_heads=self.n_heads,
+                         n_inducing_points=self.n_inducing_points,
+                         layer_norm=self.layer_norm,
+                         name=f"sab_{i}")(h, presence)
+
+        z = TorchLinear(self.dim_out, name="fc2")(h)
+
+        # torch xavier on (1, n_outputs, dim_out): fan_in = n_outputs*dim_out,
+        # fan_out = dim_out (set_transformer.py:205-207)
+        seeds = self.param(
+            "seeds",
+            xavier_uniform_torch(self.n_outputs * self.dim_out, self.dim_out),
+            (1, self.n_outputs, self.dim_out))
+        s = jnp.broadcast_to(seeds, (B, self.n_outputs, self.dim_out))
+
+        return MultiHeadQKVAttention(
+            d_k=self.dim_out, d_v=self.dim_out, n_heads=self.n_heads,
+            name="multi_head_attention")(s, z, z, presence)

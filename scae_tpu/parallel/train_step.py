@@ -1,0 +1,128 @@
+"""jit/pjit train & eval step builders.
+
+Replaces the reference's Lightning hot loop (base_experiment.py:109-126,
+including the per-batch gc.collect() throughput killer, SURVEY.md §2.4(11))
+with a single fully-jitted SPMD step: forward + 8-term loss + grad +
+optimizer update compile to one XLA program; batch sharded over 'data',
+gradient all-reduce inserted by XLA over ICI.
+"""
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from scae_tpu.parallel.mesh import batch_sharding, param_shardings
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+
+    def replace_(self, **kw):
+        return self.replace(**kw)
+
+
+def create_train_state(model, tx: optax.GradientTransformation,
+                       example_batch, init_rng: jax.Array) -> TrainState:
+    """Initialize params (torch-default init distributions) + opt state.
+
+    Init is wrapped in jit: flax's eager init would otherwise dispatch
+    every primitive in the forward pass as its own tiny program — painful
+    over a remote-TPU link where each dispatch is an RPC round trip.
+    """
+    params_rng, noise_rng, state_rng = jax.random.split(init_rng, 3)
+
+    @jax.jit
+    def init_all(rngs, image):
+        variables = model.init(rngs, image, deterministic=False)
+        params = variables["params"]
+        return params, tx.init(params)
+
+    params, opt_state = init_all(
+        {"params": params_rng, "noise": noise_rng}, example_batch["image"])
+    return TrainState(
+        step=jnp.zeros([], jnp.int32),
+        params=params,
+        opt_state=opt_state,
+        rng=state_rng,
+    )
+
+
+def loss_fn(model, params, batch, rng, deterministic: bool):
+    res = model.apply(
+        {"params": params}, batch["image"], deterministic=deterministic,
+        rngs=None if deterministic else {"noise": rng})
+    loss, log = model.loss(res, batch["image"], batch.get("label"))
+    return loss, log
+
+
+def make_train_step(model, tx: optax.GradientTransformation,
+                    mesh=None, donate: bool = True) -> Callable:
+    """Build the jitted SPMD training step: (state, batch) -> (state, metrics)."""
+
+    def train_step(state: TrainState, batch):
+        step_rng = jax.random.fold_in(state.rng, state.step)
+
+        def lf(params):
+            return loss_fn(model, params, batch, step_rng,
+                           deterministic=False)
+
+        (loss, log), grads = jax.value_and_grad(lf, has_aux=True)(
+            state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(log)
+        metrics["loss"] = loss
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt_state)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+    bsh = batch_sharding(mesh)  # pytree prefix: applies to every batch leaf
+    return jax.jit(
+        train_step,
+        in_shardings=(None, bsh),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(model, mesh=None) -> Callable:
+    """Jitted eval step: (params, batch) -> metrics (loss terms + accuracy)."""
+
+    def eval_step(params, batch):
+        res = model.apply({"params": params}, batch["image"],
+                          deterministic=True)
+        loss, log = model.loss(res, batch["image"], batch.get("label"))
+        metrics = dict(log)
+        metrics["loss"] = loss
+        if batch.get("label") is not None and model.n_classes:
+            metrics["accuracy"] = model.calculate_accuracy(
+                res, batch["label"])
+        return metrics
+
+    if mesh is None:
+        return jax.jit(eval_step)
+    bsh = batch_sharding(mesh)
+    return jax.jit(eval_step, in_shardings=(None, bsh))
+
+
+def shard_state(state: TrainState, mesh, model_axis: bool = True):
+    """Place a TrainState onto the mesh: capsule banks over 'model',
+    everything else replicated (optimizer moments cheap at this scale)."""
+    from scae_tpu.parallel.mesh import replicate_sharding
+    p_sh = param_shardings(mesh, state.params,
+                           shard_capsule_banks=model_axis)
+    rep = replicate_sharding(mesh)
+    return state.replace(
+        params=jax.device_put(state.params, p_sh),
+        opt_state=jax.device_put(state.opt_state, rep),
+        step=jax.device_put(state.step, rep),
+        rng=jax.device_put(state.rng, rep),
+    )

@@ -1,0 +1,61 @@
+"""Orbax checkpoint/resume: params + optimizer state + step + PRNG key.
+
+Replaces the reference's Lightning ModelCheckpoint(save_top_k) +
+resume_from_checkpoint flow (mnist/train.py:34-38, train.ipynb cell 9) with
+an Orbax CheckpointManager: async-capable saves, top-k retention by a
+monitored metric (val loss, mode=min), and restart-based recovery — the
+standard JAX multi-host failure-tolerance story (SURVEY.md §5).
+"""
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from scae_tpu.parallel.train_step import TrainState
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 3,
+                 monitor: str = "loss", mode: str = "min"):
+        directory = os.path.abspath(directory)
+        os.makedirs(directory, exist_ok=True)
+        best_fn = (lambda m: m[monitor]) if monitor else None
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep,
+            best_fn=best_fn,
+            best_mode=mode,
+            create=True,
+            enable_async_checkpointing=True,
+        )
+        self._mgr = ocp.CheckpointManager(directory, options=options)
+
+    def save(self, step: int, state: TrainState,
+             metrics: Optional[dict] = None) -> bool:
+        metrics = {k: float(v) for k, v in (metrics or {}).items()}
+        return self._mgr.save(
+            int(step), args=ocp.args.StandardSave(state), metrics=metrics)
+
+    def restore(self, state_template: TrainState,
+                step: Optional[int] = None) -> TrainState:
+        step = self._mgr.latest_step() if step is None else step
+        assert step is not None, "no checkpoint to restore"
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct,
+                                state_template)
+        return self._mgr.restore(
+            int(step), args=ocp.args.StandardRestore(abstract))
+
+    @property
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    @property
+    def best_step(self) -> Optional[int]:
+        return self._mgr.best_step()
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def close(self):
+        self._mgr.close()

@@ -1,0 +1,220 @@
+"""Host input pipeline: MNIST (IDX files) / synthetic fallback + on-device
+augmentation.
+
+The reference uses torchvision MNIST with pad-to-40 + RandomAffine
+translation on the CPU DataLoader (mnist/experiment.py:23-50, 2 workers).
+TPU-native redesign: the dataset lives in host RAM as one uint8 array,
+batches are sliced + normalized on host (no worker processes needed at
+this image size), and the pad+random-translate augmentation runs ON DEVICE
+inside the jitted train step (random_translate below) so the host never
+touches per-pixel augmentation.
+
+MNIST downloading is impossible in a zero-egress container; the loader
+reads standard IDX (ubyte) files from a search path if present and
+otherwise falls back to a procedurally generated digit-like dataset
+(synthetic strokes) that exercises the full pipeline. The reference's
+test-set inconsistency (28x28 test vs 40x40 model, SURVEY.md §2.4(8)) is
+fixed: all splits get the same canvas treatment.
+"""
+
+import gzip
+import os
+import struct
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_MNIST_FILES = {
+    "train_images": "train-images-idx3-ubyte",
+    "train_labels": "train-labels-idx1-ubyte",
+    "test_images": "t10k-images-idx3-ubyte",
+    "test_labels": "t10k-labels-idx1-ubyte",
+}
+
+_SEARCH_PATHS = (
+    os.environ.get("SCAE_TPU_DATA_DIR", ""),
+    "./data/mnist",
+    os.path.expanduser("~/.cache/mnist"),
+    "/root/data/mnist",
+)
+
+
+def _read_idx(path: str) -> np.ndarray:
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        zero, dtype_code, ndim = struct.unpack(">HBB", f.read(4))
+        assert zero == 0, f"bad IDX magic in {path}"
+        assert dtype_code == 0x08, "only ubyte IDX supported"
+        shape = struct.unpack(f">{ndim}I", f.read(4 * ndim))
+        return np.frombuffer(f.read(), dtype=np.uint8).reshape(shape)
+
+
+def find_mnist(data_dir: Optional[str] = None) -> Optional[Dict[str, np.ndarray]]:
+    """Locate MNIST IDX files; returns dict of arrays or None."""
+    candidates = ([data_dir] if data_dir else []) + [p for p in _SEARCH_PATHS
+                                                     if p]
+    for root in candidates:
+        if not os.path.isdir(root):
+            continue
+        out = {}
+        ok = True
+        for key, fname in _MNIST_FILES.items():
+            for suffix in ("", ".gz"):
+                path = os.path.join(root, fname + suffix)
+                if os.path.exists(path):
+                    out[key] = _read_idx(path)
+                    break
+            else:
+                ok = False
+                break
+        if ok:
+            return out
+    return None
+
+
+def synthetic_digits(n: int, seed: int = 0,
+                     size: int = 28) -> Tuple[np.ndarray, np.ndarray]:
+    """Procedural digit-like images (uint8 HxW) + pseudo-labels.
+
+    Each sample composes 2-4 oriented bar/arc strokes from a per-class
+    stroke bank, giving class-consistent structure for the capsule model to
+    discover. Used when real MNIST files are unavailable (zero-egress).
+    """
+    rng = np.random.RandomState(seed)
+    labels = rng.randint(0, 10, size=n).astype(np.int64)
+
+    class_rng = np.random.RandomState(1234)
+    # per-class stroke bank: (cx, cy, angle, length, curvature)
+    banks = class_rng.uniform(0, 1, size=(10, 4, 5)).astype(np.float32)
+
+    n_pts = 24
+    t = np.linspace(-0.5, 0.5, n_pts, dtype=np.float32)
+    yy = np.arange(size, dtype=np.float32)
+    xx = np.arange(size, dtype=np.float32)
+
+    acc = np.zeros((n, size, size), np.float32)
+    max_strokes = 4
+    stroke_params = banks[labels]                      # (n, 4, 5)
+    n_strokes = 2 + (labels % 3)                       # (n,)
+    for s in range(max_strokes):
+        active = n_strokes > s                         # (n,)
+        if not active.any():
+            break
+        cx0, cy0, ang0, ln0, cv0 = stroke_params[:, s % 4].T  # (n,) each
+        cx = (0.25 + 0.5 * cx0) * size + rng.randn(n) * 1.0
+        cy = (0.25 + 0.5 * cy0) * size + rng.randn(n) * 1.0
+        ang = ang0 * np.pi + rng.randn(n) * 0.15
+        ln = (0.2 + 0.4 * ln0) * size
+        curve = cv0[:, None] * 8.0 * (t[None] ** 2 - 0.25 ** 2)  # (n, P)
+        px = cx[:, None] + ln[:, None] * t[None] * np.cos(ang)[:, None] \
+            - curve * np.sin(ang)[:, None]             # (n, P)
+        py = cy[:, None] + ln[:, None] * t[None] * np.sin(ang)[:, None] \
+            + curve * np.cos(ang)[:, None]
+        # separable gaussian splat: exp(-(dx^2+dy^2)/1.8)
+        #   = exp(-dx^2/1.8) * exp(-dy^2/1.8), chunked over samples
+        chunk = 512
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            gx = np.exp(-(xx[None, None] - px[lo:hi, :, None]) ** 2
+                        / 1.8)                         # (c, P, W)
+            gy = np.exp(-(yy[None, None] - py[lo:hi, :, None]) ** 2
+                        / 1.8)                         # (c, P, H)
+            # sum_p gy[c,p,h] * gx[c,p,w] -> (c, H, W)
+            contrib = np.einsum("cph,cpw->chw", gy, gx)
+            acc[lo:hi] += contrib * active[lo:hi, None, None]
+
+    peak = np.maximum(acc.max(axis=(1, 2), keepdims=True), 1e-6)
+    images = (np.clip(acc / peak, 0, 1) * 255).astype(np.uint8)
+    return images, labels.astype(np.int64)
+
+
+class Dataset:
+    """In-memory dataset with shuffled mini-batch iteration."""
+
+    def __init__(self, images: np.ndarray, labels: np.ndarray):
+        assert images.ndim == 3  # (N, H, W) uint8
+        self.images = images
+        self.labels = labels
+
+    def __len__(self):
+        return len(self.images)
+
+    def batches(self, batch_size: int, seed: int = 0, shuffle: bool = True,
+                drop_remainder: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.images)
+        idx = np.arange(n)
+        if shuffle:
+            np.random.RandomState(seed).shuffle(idx)
+        end = n - (n % batch_size) if drop_remainder else n
+        for start in range(0, end, batch_size):
+            sel = idx[start:start + batch_size]
+            yield {
+                "image": (self.images[sel].astype(np.float32) / 255.0)
+                [:, None],  # (B, 1, H, W)
+                "label": self.labels[sel].astype(np.int32),
+            }
+
+
+def load_datasets(data_dir: Optional[str] = None, val_size: int = 5000,
+                  synthetic_train: int = 12000, synthetic_test: int = 2000,
+                  seed: int = 42):
+    """(train, val, test) Datasets from real MNIST if found, else synthetic."""
+    mnist = find_mnist(data_dir)
+    if mnist is not None:
+        tr_im, tr_lb = mnist["train_images"], mnist["train_labels"]
+        te_im, te_lb = mnist["test_images"], mnist["test_labels"]
+        source = "mnist"
+    else:
+        tr_im, tr_lb = synthetic_digits(synthetic_train, seed=seed)
+        te_im, te_lb = synthetic_digits(synthetic_test, seed=seed + 1)
+        source = "synthetic"
+
+    # reference: 55000/5000 random_split at seed (mnist/experiment.py:47)
+    rng = np.random.RandomState(seed)
+    perm = rng.permutation(len(tr_im))
+    val_idx, train_idx = perm[:val_size], perm[val_size:]
+    return (Dataset(tr_im[train_idx], tr_lb[train_idx]),
+            Dataset(tr_im[val_idx], tr_lb[val_idx]),
+            Dataset(te_im, te_lb),
+            source)
+
+
+def pad_to_canvas(images: jax.Array, canvas: int) -> jax.Array:
+    """Center-pad (or center-crop) (B, C, h, w) images to canvas x canvas."""
+    h, w = images.shape[-2:]
+    if h > canvas:
+        top = (h - canvas) // 2
+        images = images[..., top:top + canvas, :]
+        h = canvas
+    if w > canvas:
+        left = (w - canvas) // 2
+        images = images[..., left:left + canvas]
+        w = canvas
+    top, left = (canvas - h) // 2, (canvas - w) // 2
+    return jnp.pad(images, ((0, 0), (0, 0),
+                            (top, canvas - h - top),
+                            (left, canvas - w - left)))
+
+
+def random_translate(images: jax.Array, key: jax.Array,
+                     max_shift: int) -> jax.Array:
+    """Device-side random per-sample integer translation (+-max_shift).
+
+    Equivalent to the reference's pad + RandomAffine(translate=pad_ratio)
+    augmentation (mnist/experiment.py:27-36) but fused into the jitted
+    step: pad by max_shift then take a random dynamic slice per sample.
+    """
+    B, C, H, W = images.shape
+    padded = jnp.pad(images, ((0, 0), (0, 0),
+                              (max_shift, max_shift),
+                              (max_shift, max_shift)))
+    kx, ky = jax.random.split(key)
+    ox = jax.random.randint(kx, (B,), 0, 2 * max_shift + 1)
+    oy = jax.random.randint(ky, (B,), 0, 2 * max_shift + 1)
+
+    def take(img, oy, ox):
+        return jax.lax.dynamic_slice(img, (0, oy, ox), (C, H, W))
+
+    return jax.vmap(take)(padded, oy, ox)

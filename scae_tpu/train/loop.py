@@ -1,0 +1,272 @@
+"""Training harness: the reference's Lightning experiment, TPU-native.
+
+Replaces BaseExperiment/MNISTExperiment + Lightning Trainer
+(torch_scae_experiments/base_experiment.py:32-202, mnist/experiment.py,
+mnist/train.py) with a compact loop around one jitted SPMD step:
+
+  * model from factory (cfg['model'] == prepare_model_params kwargs)
+  * optimizer zoo (rmsprop/radam/adam), eps = 1e-2/B^2, optional LookAhead,
+    per-epoch exponential LR decay (base_experiment.py:44-77)
+  * device-side pad+translate augmentation fused into the train step
+  * per-step loss-term logging with the reference's metric names, val
+    epoch means, and the three validation image grids
+    (base_experiment.py:109-182)
+  * Orbax top-k checkpointing + resume (SURVEY.md §5)
+  * deterministic seeding: one root key -> init/data/noise streams
+    (replaces global-RNG seed_everything, mnist/train.py:28-30)
+
+No gc.collect() per batch (SURVEY.md §2.4(11)); steps are fully async on
+device and the host only syncs when logging.
+"""
+
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scae_tpu import factory
+from scae_tpu.optim import make_optimizer
+from scae_tpu.parallel.mesh import batch_sharding, make_mesh
+from scae_tpu.parallel.train_step import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from scae_tpu.train import data as data_lib
+from scae_tpu.train.checkpoint import CheckpointManager
+from scae_tpu.train.metrics import (
+    MetricsWriter,
+    write_reconstruction_grids,
+)
+
+
+def make_augment_fn(canvas: int, max_shift: int):
+    """Device-side pad-to-canvas + random translate (train only)."""
+
+    def augment(batch, rng):
+        images = batch["image"]
+        if canvas and images.shape[-1] != canvas:
+            images = data_lib.pad_to_canvas(images, canvas)
+        if max_shift:
+            images = data_lib.random_translate(images, rng, max_shift)
+        return {**batch, "image": images}
+
+    return augment
+
+
+def make_center_pad_fn(canvas: int):
+    @jax.jit
+    def pad(batch):
+        images = batch["image"]
+        if canvas and images.shape[-1] != canvas:
+            images = data_lib.pad_to_canvas(images, canvas)
+        return {**batch, "image": images}
+
+    return pad
+
+
+class Trainer:
+    def __init__(self, cfg: Dict):
+        self.cfg = cfg
+        self.model = factory.make_scae(dict(cfg["model"]))
+        # a reconstruct-alternatives clone for visualization (same params)
+        viz_model_cfg = dict(cfg["model"])
+        viz_model_cfg["scae_params"] = dict(
+            viz_model_cfg.get("scae_params") or {},
+            reconstruct_alternatives=True)
+        self.viz_model = factory.make_scae(viz_model_cfg)
+
+        trainer_cfg = cfg["trainer"]
+        mesh_cfg = trainer_cfg.get("mesh") or {}
+        self.mesh = make_mesh(n_data=mesh_cfg.get("n_data"),
+                              n_model=mesh_cfg.get("n_model", 1))
+
+        self.batch_size = cfg["data_loader"]["batch_size"]
+
+        self.log_dir = trainer_cfg.get("log_dir", "./logs")
+        self.writer = MetricsWriter(self.log_dir)
+        self.ckpt = CheckpointManager(
+            trainer_cfg.get("checkpoint_dir", "./checkpoints"),
+            max_to_keep=trainer_cfg.get("save_top_k", 3),
+            monitor="loss")
+
+        aug = trainer_cfg.get("augment") or {}
+        self.canvas = aug.get("canvas", cfg["model"]["image_shape"][-1])
+        self.max_shift = aug.get("max_shift", 0)
+        self.center_pad = make_center_pad_fn(self.canvas)
+
+    def build_steps(self, steps_per_epoch: int):
+        opt_cfg = self.cfg["optimizer"]
+        la = self.cfg.get("lookahead") or {}
+        self.tx = make_optimizer(
+            name=opt_cfg["name"],
+            learning_rate=opt_cfg["learning_rate"],
+            batch_size=self.batch_size,
+            momentum=opt_cfg.get("momentum", 0.9),
+            use_lookahead=self.cfg.get("use_lookahead", False),
+            lookahead_alpha=la.get("alpha", 0.5),
+            lookahead_k=la.get("k", 6),
+            lr_decay_rate=(self.cfg.get("lr_scheduler") or {})
+            .get("decay_rate"),
+            decay_steps=steps_per_epoch,
+        )
+        augment = make_augment_fn(self.canvas, self.max_shift)
+
+        # The whole fused SPMD step: device-side batch gather (the dataset
+        # lives in device memory — no per-step host transfer beyond a tiny
+        # index vector), uint8 -> f32 decode, pad + random-translate
+        # augmentation, forward, 8-term loss, grad, optimizer update.
+        import optax as _optax
+        tx = self.tx
+        model = self.model
+
+        def fused(state: TrainState, data, idx):
+            images = jnp.take(data["image"], idx, axis=0)
+            images = images.astype(jnp.float32) / 255.0
+            if images.ndim == 3:
+                images = images[:, None]  # (B, 1, H, W)
+            labels = jnp.take(data["label"], idx, axis=0)
+            batch = {"image": images, "label": labels}
+
+            aug_rng = jax.random.fold_in(
+                jax.random.fold_in(state.rng, state.step), 7)
+            batch = augment(batch, aug_rng)
+            step_rng = jax.random.fold_in(state.rng, state.step)
+
+            def lf(params):
+                res = model.apply({"params": params}, batch["image"],
+                                  deterministic=False,
+                                  rngs={"noise": step_rng})
+                loss, log = model.loss(res, batch["image"],
+                                       batch.get("label"))
+                return loss, log
+
+            (loss, log), grads = jax.value_and_grad(lf, has_aux=True)(
+                state.params)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = _optax.apply_updates(state.params, updates)
+            metrics = dict(log)
+            metrics["loss"] = loss
+            return state.replace(step=state.step + 1, params=params,
+                                 opt_state=opt_state), metrics
+
+        bsh = batch_sharding(self.mesh)
+        self.train_step = jax.jit(fused, in_shardings=(None, None, bsh),
+                                  donate_argnums=(0,))
+        self.eval_step = make_eval_step(self.model, mesh=self.mesh)
+
+    def init_state(self, seed: int) -> TrainState:
+        example = {
+            "image": jnp.zeros(
+                (self.batch_size, self.cfg["model"]["image_shape"][0],
+                 self.canvas, self.canvas), jnp.float32),
+            "label": jnp.zeros((self.batch_size,), jnp.int32),
+        }
+        return create_train_state(self.model, self.tx, example,
+                                  jax.random.PRNGKey(seed))
+
+    def evaluate(self, params, dataset, seed: int = 0,
+                 max_batches: Optional[int] = None):
+        sums, count = {}, 0
+        first_batch = None
+        for i, batch in enumerate(dataset.batches(self.batch_size,
+                                                  seed=seed,
+                                                  shuffle=False)):
+            if max_batches is not None and i >= max_batches:
+                break
+            batch = self.center_pad(
+                {k: jnp.asarray(v) for k, v in batch.items()})
+            if first_batch is None:
+                first_batch = batch
+            metrics = self.eval_step(params, batch)
+            metrics = jax.device_get(metrics)
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            count += 1
+        means = {f"val_{k}": v / max(count, 1) for k, v in sums.items()}
+        return means, first_batch
+
+    def write_viz(self, step, params, batch, max_n: int = 8):
+        # alternatives (notably the B*O-tiled per-capsule decode) are heavy;
+        # only the displayed images go through the viz forward
+        images = batch["image"][:max_n]
+        if not hasattr(self, "_viz_apply"):
+            self._viz_apply = jax.jit(
+                lambda p, x: self.viz_model.apply({"params": p}, x))
+        res = self._viz_apply(params, images)
+        write_reconstruction_grids(self.writer, step, res,
+                                   np.asarray(images), max_n=max_n)
+
+    def run(self, max_epochs: Optional[int] = None,
+            max_steps: Optional[int] = None, resume: bool = False):
+        cfg = self.cfg
+        seed = cfg.get("seed", 42)
+        trainer_cfg = cfg["trainer"]
+        max_epochs = max_epochs or trainer_cfg.get("max_epochs", 1)
+        log_every = trainer_cfg.get("log_every_steps", 50)
+
+        train_ds, val_ds, test_ds, source = data_lib.load_datasets(
+            data_dir=cfg["data_loader"].get("data_dir"),
+            seed=seed)
+        print(f"[scae_tpu] dataset source: {source} "
+              f"(train={len(train_ds)}, val={len(val_ds)}, "
+              f"test={len(test_ds)})")
+
+        steps_per_epoch = len(train_ds) // self.batch_size
+        self.build_steps(steps_per_epoch)
+        state = self.init_state(seed)
+        if resume and self.ckpt.latest_step is not None:
+            state = self.ckpt.restore(state)
+            print(f"[scae_tpu] resumed from step {int(state.step)}")
+
+        # dataset lives on device; per step only a (B,) index vector moves
+        device_data = {
+            "image": jnp.asarray(train_ds.images),  # uint8, decoded on device
+            "label": jnp.asarray(train_ds.labels.astype(np.int32)),
+        }
+
+        t0 = time.time()
+        global_step = int(state.step)
+        stop = False
+        for epoch in range(max_epochs):
+            perm = np.random.RandomState(seed + epoch).permutation(
+                len(train_ds))
+            n_steps = len(train_ds) // self.batch_size
+            for i in range(n_steps):
+                idx = jnp.asarray(
+                    perm[i * self.batch_size:(i + 1) * self.batch_size]
+                    .astype(np.int32))
+                state, metrics = self.train_step(state, device_data, idx)
+                global_step += 1
+                if global_step % log_every == 0:
+                    metrics = jax.device_get(metrics)
+                    rate = (log_every * self.batch_size
+                            / max(time.time() - t0, 1e-9))
+                    t0 = time.time()
+                    self.writer.scalars(global_step,
+                                        {**metrics,
+                                         "images_per_sec": rate})
+                if max_steps is not None and global_step >= max_steps:
+                    stop = True
+                    break
+
+            if (epoch + 1) % trainer_cfg.get("eval_every_epochs", 1) == 0 \
+                    or stop:
+                val_metrics, viz_batch = self.evaluate(
+                    state.params, val_ds,
+                    max_batches=trainer_cfg.get("max_eval_batches"))
+                self.writer.scalars(global_step, val_metrics)
+                if viz_batch is not None:
+                    self.write_viz(global_step, state.params, viz_batch)
+                self.ckpt.save(global_step, jax.device_get(state),
+                               metrics={"loss":
+                                        val_metrics.get("val_loss", 0.0)})
+            if stop:
+                break
+
+        self.ckpt.wait()
+        return state

@@ -1,0 +1,94 @@
+"""Metrics/observability: JSONL scalars + PNG image grids + profiler hooks.
+
+Replaces the reference's Lightning/TensorBoard logging (scalar loss-term
+dict per step, lr per epoch, three image grids per val epoch —
+base_experiment.py:98-126,145-182) with a dependency-free writer:
+  * scalars appended to <dir>/metrics.jsonl (one JSON object per event)
+  * image grids written as PNGs under <dir>/images/
+  * optional jax.profiler trace capture around chosen steps
+
+The loss-term names match the reference exactly (rec_ll_loss,
+log_prob_loss, prior_/posterior_ sparsity terms, cpr_dynamic_reg_loss,
+prior_cls_xe, posterior_cls_xe) so dashboards translate 1:1.
+"""
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+from scae_tpu.utils.png import make_grid, write_png
+
+
+class MetricsWriter:
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+        self.image_dir = os.path.join(log_dir, "images")
+        os.makedirs(self.image_dir, exist_ok=True)
+        self._f = open(os.path.join(log_dir, "metrics.jsonl"), "a",
+                       buffering=1)
+
+    def scalars(self, step: int, values: Dict[str, float],
+                prefix: str = "") -> None:
+        rec = {"step": int(step), "time": time.time()}
+        for k, v in values.items():
+            rec[f"{prefix}{k}"] = float(np.asarray(v))
+        self._f.write(json.dumps(rec) + "\n")
+
+    def images(self, step: int, name: str, batch_nchw,
+               n_cols: int = 8) -> None:
+        """Write an (N, C, H, W) image batch as one PNG grid."""
+        grid = make_grid(np.asarray(batch_nchw), n_cols=n_cols)
+        write_png(os.path.join(self.image_dir,
+                               f"{name}_step{int(step):08d}.png"), grid)
+
+    def close(self):
+        self._f.close()
+
+
+class Profiler:
+    """Thin jax.profiler wrapper: trace steps [start, start+count)."""
+
+    def __init__(self, log_dir: str, start_step: int = -1, n_steps: int = 3):
+        self.trace_dir = os.path.join(log_dir, "profile")
+        self.start_step = start_step
+        self.end_step = start_step + n_steps
+        self._active = False
+
+    def maybe_start(self, step: int):
+        if step == self.start_step and not self._active:
+            import jax
+            os.makedirs(self.trace_dir, exist_ok=True)
+            jax.profiler.start_trace(self.trace_dir)
+            self._active = True
+
+    def maybe_stop(self, step: int):
+        if self._active and step >= self.end_step:
+            import jax
+            jax.profiler.stop_trace()
+            self._active = False
+
+
+def write_reconstruction_grids(writer: MetricsWriter, step: int, res,
+                               images, max_n: int = 8) -> None:
+    """The reference's three validation grids (base_experiment.py:152-182):
+    originals + reconstruction modes (+ alternatives), raw templates,
+    transformed templates."""
+    import jax
+
+    res = jax.device_get(res)
+    n = min(max_n, images.shape[0])
+    rows = [np.asarray(images[:n]), np.asarray(res.rec.pdf.mode()[:n])]
+    if res.bottom_up_rec is not None:
+        rows.append(np.asarray(res.bottom_up_rec.pdf.mode()[:n]))
+    if res.top_down_rec is not None:
+        rows.append(np.asarray(res.top_down_rec.pdf.mode()[:n]))
+    writer.images(step, "reconstructions", np.concatenate(rows), n_cols=n)
+
+    raw = np.asarray(res.raw_templates)[0]  # (M, C, Ht, Wt)
+    writer.images(step, "templates", raw, n_cols=raw.shape[0])
+
+    tt = np.asarray(res.transformed_templates[0])  # (M+1, C, H, W)
+    writer.images(step, "transformed_templates", tt, n_cols=tt.shape[0])

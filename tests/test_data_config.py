@@ -1,0 +1,132 @@
+import gzip
+import os
+import struct
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scae_tpu.config import load_config
+from scae_tpu.train import data as data_lib
+
+
+def _write_idx(path, array):
+    array = np.asarray(array, np.uint8)
+    header = struct.pack(">HBB", 0, 0x08, array.ndim)
+    header += struct.pack(f">{array.ndim}I", *array.shape)
+    with open(path, "wb") as f:
+        f.write(header + array.tobytes())
+
+
+def test_idx_loader_roundtrip(tmp_path):
+    root = str(tmp_path)
+    imgs = np.random.RandomState(0).randint(0, 255, (10, 28, 28), np.uint8)
+    labels = np.arange(10, dtype=np.uint8)
+    _write_idx(os.path.join(root, "train-images-idx3-ubyte"), imgs)
+    _write_idx(os.path.join(root, "train-labels-idx1-ubyte"), labels)
+    _write_idx(os.path.join(root, "t10k-images-idx3-ubyte"), imgs[:4])
+    _write_idx(os.path.join(root, "t10k-labels-idx1-ubyte"), labels[:4])
+    found = data_lib.find_mnist(root)
+    assert found is not None
+    np.testing.assert_array_equal(found["train_images"], imgs)
+    np.testing.assert_array_equal(found["test_labels"], labels[:4])
+
+
+def test_idx_loader_gz(tmp_path):
+    root = str(tmp_path)
+    imgs = np.zeros((3, 5, 5), np.uint8)
+    raw_path = os.path.join(root, "x")
+    _write_idx(raw_path, imgs)
+    with open(raw_path, "rb") as f:
+        payload = f.read()
+    with gzip.open(os.path.join(root,
+                                "train-images-idx3-ubyte.gz"), "wb") as f:
+        f.write(payload)
+    out = data_lib._read_idx(os.path.join(root,
+                                          "train-images-idx3-ubyte.gz"))
+    np.testing.assert_array_equal(out, imgs)
+
+
+def test_synthetic_digits_shapes_and_determinism():
+    im1, lb1 = data_lib.synthetic_digits(20, seed=3)
+    im2, lb2 = data_lib.synthetic_digits(20, seed=3)
+    assert im1.shape == (20, 28, 28) and im1.dtype == np.uint8
+    np.testing.assert_array_equal(im1, im2)
+    np.testing.assert_array_equal(lb1, lb2)
+    assert im1.max() > 100  # non-empty drawings
+
+
+def test_dataset_batches():
+    im, lb = data_lib.synthetic_digits(50, seed=0)
+    ds = data_lib.Dataset(im, lb)
+    batches = list(ds.batches(16, seed=1))
+    assert len(batches) == 3  # drop remainder
+    b = batches[0]
+    assert b["image"].shape == (16, 1, 28, 28)
+    assert b["image"].dtype == np.float32
+    assert b["image"].max() <= 1.0
+    assert b["label"].shape == (16,)
+
+
+def test_load_datasets_synthetic_fallback(tmp_path):
+    train, val, test, source = data_lib.load_datasets(
+        data_dir=str(tmp_path), val_size=100,
+        synthetic_train=400, synthetic_test=50)
+    assert source == "synthetic"
+    assert len(train) == 300 and len(val) == 100 and len(test) == 50
+
+
+def test_pad_to_canvas_centers():
+    img = jnp.ones((2, 1, 4, 4))
+    out = data_lib.pad_to_canvas(img, 8)
+    assert out.shape == (2, 1, 8, 8)
+    assert float(out[:, :, 2:6, 2:6].min()) == 1.0
+    assert float(out.sum()) == 2 * 16
+
+
+def test_random_translate_preserves_content():
+    img = jnp.zeros((3, 1, 8, 8)).at[:, :, 3:5, 3:5].set(1.0)
+    out = data_lib.random_translate(img, jax.random.PRNGKey(0), max_shift=2)
+    assert out.shape == img.shape
+    # mass preserved (translation only, zero padding, shift <= margin)
+    np.testing.assert_allclose(np.asarray(out.sum((1, 2, 3))),
+                               np.asarray(img.sum((1, 2, 3))))
+
+
+def test_random_translate_actually_moves():
+    img = jnp.zeros((8, 1, 8, 8)).at[:, :, 4, 4].set(1.0)
+    out = data_lib.random_translate(img, jax.random.PRNGKey(1), max_shift=2)
+    positions = np.argwhere(np.asarray(out) > 0.5)[:, 2:]
+    assert len(np.unique(positions, axis=0)) > 1  # not all identical
+
+
+# ------------------------------------------------------------- config
+
+
+def test_load_config_defaults_and_overrides():
+    cfg = load_config("config")
+    assert cfg["optimizer"]["name"] == "rmsprop"
+    assert cfg["model"]["n_part_caps"] == 40
+    assert cfg["seed"] == 42
+
+    cfg = load_config("config", overrides=[
+        "optimizer=radam",
+        "trainer.max_epochs=3",
+        "data_loader.batch_size=64",
+        "model.n_obj_caps=16",
+        "trainer.new_key=hello",
+    ])
+    assert cfg["optimizer"]["name"] == "radam"
+    assert cfg["trainer"]["max_epochs"] == 3
+    assert cfg["data_loader"]["batch_size"] == 64
+    assert cfg["model"]["n_obj_caps"] == 16
+    assert cfg["trainer"]["new_key"] == "hello"
+
+
+def test_config_model_feeds_factory():
+    from scae_tpu.factory import prepare_model_params
+    cfg = load_config("config")
+    params = prepare_model_params(**cfg["model"])
+    assert params["ocae_encoder_set_transformer"]["dim_in"] == 144
+    assert params["pcae_decoder"]["output_size"] == (40, 40)

@@ -1,0 +1,44 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scae_tpu.ops.geometry import geometric_transform
+
+
+def test_flat_shape():
+    pose = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 6))
+    out = geometric_transform(pose)
+    assert out.shape == (4, 16, 6)
+
+
+def test_matrix_shape_and_homogeneous_row():
+    pose = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 6))
+    out = geometric_transform(pose, as_matrix=True)
+    assert out.shape == (4, 16, 3, 3)
+    np.testing.assert_allclose(np.asarray(out[..., 2, :]),
+                               np.broadcast_to([0.0, 0.0, 1.0], (4, 16, 3)))
+
+
+def test_similarity_is_rotation_scale():
+    pose = jax.random.normal(jax.random.PRNGKey(1), (8, 6))
+    out = geometric_transform(pose, similarity=True)
+    a, b, _, c, d, _ = [np.asarray(out[..., i]) for i in range(6)]
+    # similarity: [s c, -s s; s s, s c] -> a == d, b == -c
+    np.testing.assert_allclose(a, d, rtol=1e-5)
+    np.testing.assert_allclose(b, -c, rtol=1e-5)
+
+
+def test_nonlinear_ranges():
+    pose = 10.0 * jax.random.normal(jax.random.PRNGKey(2), (100, 6))
+    out = np.asarray(geometric_transform(pose))
+    # translations squashed by tanh(5x)
+    assert np.abs(out[:, 2]).max() <= 1.0
+    assert np.abs(out[:, 5]).max() <= 1.0
+
+
+def test_linear_scale_abs():
+    pose = jnp.asarray([[-2.0, -3.0, 0.0, 0.0, 0.0, 0.0]])
+    out = np.asarray(geometric_transform(pose, nonlinear=False))
+    # theta=0 => a = scale_x = |-2|+1e-2
+    np.testing.assert_allclose(out[0, 0], 2.01, rtol=1e-6)
+    np.testing.assert_allclose(out[0, 4], 3.01, rtol=1e-6)

@@ -1,0 +1,119 @@
+"""Full-model integration tests (mirrors reference tests/test_scae.py but
+with assertions instead of a crash-only smoke test)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scae_tpu.factory import make_scae, prepare_model_params
+from tests.sample_hparams import small_model_params
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = make_scae(small_model_params())
+    img = jax.random.uniform(jax.random.PRNGKey(1), (4, 1, 28, 28))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(2)},
+        img, deterministic=False)
+    return model, variables, img
+
+
+def test_forward_shapes(model_and_vars):
+    model, variables, img = model_and_vars
+    res = model.apply(variables, img)
+    M, O = 16, 10
+    assert res.part_pose.shape == (4, M, 6)
+    assert res.part_presence.shape == (4, M)
+    assert res.templates.shape == (4, M, 1, 11, 11)
+    assert res.rec.transformed_templates.shape == (4, M + 1, 1, 28, 28)
+    assert res.obj.vote.shape == (4, O, M, 6)
+    assert res.obj.caps_presence.shape == (4, O)
+    assert res.prior_cls_prob.shape == (4, 10)
+    assert res.posterior_cls_prob.shape == (4, 10)
+
+
+def test_loss_and_log_terms(model_and_vars):
+    model, variables, img = model_and_vars
+    res = model.apply(variables, img)
+    label = jnp.arange(4) % 10
+    loss, log = model.loss(res, img, label)
+    assert np.isfinite(float(loss))
+    for name in ("rec_ll_loss", "log_prob_loss", "prior_within_sparsity_loss",
+                 "prior_between_sparsity_loss",
+                 "posterior_within_sparsity_loss",
+                 "posterior_between_sparsity_loss", "cpr_dynamic_reg_loss",
+                 "prior_cls_xe", "posterior_cls_xe"):
+        assert name in log and np.isfinite(float(log[name])), name
+
+
+def test_accuracy_in_unit_interval(model_and_vars):
+    model, variables, img = model_and_vars
+    res = model.apply(variables, img)
+    label = jnp.arange(4) % 10
+    acc = float(model.calculate_accuracy(res, label))
+    assert 0.0 <= acc <= 1.0
+
+
+def test_grads_flow_and_are_finite(model_and_vars):
+    model, variables, img = model_and_vars
+    label = jnp.arange(4) % 10
+
+    def loss_fn(params):
+        res = model.apply(
+            {"params": params}, img, deterministic=False,
+            rngs={"noise": jax.random.PRNGKey(3)})
+        loss, _ = model.loss(res, img, label)
+        return loss
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    leaves = jax.tree.leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    # at least the CNN and capsule-layer weights receive nonzero grads
+    total = sum(float(jnp.abs(g).sum()) for g in leaves)
+    assert total > 0
+
+
+def test_vote_and_presence_type_variants():
+    img = jax.random.uniform(jax.random.PRNGKey(1), (2, 1, 28, 28))
+    for vote_type, presence_type in [("enc", "enc"), ("soft", "soft"),
+                                     ("hard", "hard")]:
+        model = make_scae(small_model_params(
+            scae_params=dict(vote_type=vote_type,
+                             presence_type=presence_type,
+                             reconstruct_alternatives=False)))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, img)
+        res = model.apply(variables, img)
+        assert res.rec.transformed_templates.shape == (2, 17, 1, 28, 28)
+
+
+def test_reconstruct_alternatives_populated(model_and_vars):
+    model, variables, img = model_and_vars
+    res = model.apply(variables, img)
+    # factory default reconstruct_alternatives=True (SCAE ctor :48)
+    assert res.bottom_up_rec is not None
+    assert res.top_down_rec is not None
+    assert res.top_down_per_caps_rec is not None
+    B, O, M = 4, 10, 16
+    assert res.top_down_per_caps_rec.transformed_templates.shape == (
+        B * O, M + 1, 1, 28, 28)
+
+
+def test_factory_derived_keys_enforced():
+    with pytest.raises(AssertionError):
+        prepare_model_params(**small_model_params(
+            pcae_decoder_params=dict(n_templates=3)))
+    with pytest.raises(AssertionError):
+        prepare_model_params(**small_model_params(
+            ocae_decoder_capsule_params=dict(n_votes=3)))
+
+
+def test_factory_dim_in_derivation():
+    params = prepare_model_params(**small_model_params())
+    st = params["ocae_encoder_set_transformer"]
+    # P + S + 1 + C*Ht*Wt = 6 + 16 + 1 + 121 = 144
+    assert st["dim_in"] == 144
+    assert params["ocae_decoder_capsule"]["n_votes"] == 16
+    assert params["pcae_template_generator"]["n_templates"] == 16
