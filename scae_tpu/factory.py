@@ -92,6 +92,8 @@ def prepare_model_params(
         learn_output_scale=False,
         use_alpha_channel=True,
         background_value=True,
+        use_fused_ll=True,
+        fused_tap_dtype='float32',
     )
     pcae_decoder.update(pcae_decoder_params)
 
@@ -212,6 +214,8 @@ def make_scae(model_params: dict) -> SCAE:
         learn_output_scale=pd['learn_output_scale'],
         use_alpha_channel=pd['use_alpha_channel'],
         background_value=pd['background_value'],
+        use_fused_ll=pd.get('use_fused_ll', True),
+        fused_tap_dtype=pd.get('fused_tap_dtype', 'float32'),
     )
 
     st = config.ocae_encoder_set_transformer

@@ -101,15 +101,26 @@ class TemplateBasedImageDecoder(nn.Module):
     learn_output_scale: bool = False
     use_alpha_channel: bool = False
     background_value: bool = True
+    # fused custom-VJP reconstruction log-likelihood (ops/decoder_ll.py):
+    # avoids the bandwidth-bound autodiff backward of warp+GMM. Applies
+    # when a target is passed, alpha-channel mixing is on, and no bg_image
+    # is given. Tap dtype 'bfloat16' halves the dominant HBM traffic;
+    # 'float32' for strict numerical parity.
+    use_fused_ll: bool = True
+    fused_tap_dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, templates, pose, presence=None, bg_image=None):
+    def __call__(self, templates, pose, presence=None, bg_image=None,
+                 target=None):
         """
         Args:
           templates: (B, M, C, Ht, Wt)
           pose: (B, M, 6) flat affine transforms
           presence: optional (B, M)
           bg_image: optional (B, C, H, W)
+          target: optional (B, C, H, W) reconstruction target; when given,
+            the result's ``target_ll`` holds the per-pixel mixture
+            log-likelihood (fused fast path when eligible).
 
         Returns:
           PartDecoderResult with M+1 mixture components (background last).
@@ -119,11 +130,13 @@ class TemplateBasedImageDecoder(nn.Module):
         P = H * W
 
         # Shared bilinear tap weights for template and alpha warps.
-        Wx, Wy = bilinear_weight_matrices(pose, (Ht, Wt), (H, W))  # (B,M,P,·)
+        # Layout: taps second-to-last, pixels last (lane axis) — see
+        # ops/warp.py for why this matters on TPU.
+        Wx, Wy = bilinear_weight_matrices(pose, (Ht, Wt), (H, W))
 
         def warp(t):  # t: (B, M, c, Ht, Wt) -> (B, M, c, H, W)
-            s = jnp.einsum("bmpw,bmchw->bmpch", Wx, t)
-            out = jnp.einsum("bmpch,bmph->bmcp", s, Wy)
+            s = jnp.einsum("bmchw,bmwp->bmchp", t, Wx)
+            out = jnp.einsum("bmchp,bmhp->bmcp", s, Wy)
             return out.reshape(B, M, t.shape[2], H, W)
 
         transformed_templates = warp(templates)  # (B, M, C, H, W)
@@ -179,8 +192,28 @@ class TemplateBasedImageDecoder(nn.Module):
             scale=scale,
             mixing_logits=template_mixing_logits,
         )
+
+        target_ll = None
+        if target is not None:
+            if (self.use_fused_ll and self.use_alpha_channel
+                    and bg_image is None):
+                from scae_tpu.ops.decoder_ll import fused_decoder_ll
+
+                full_presence = presence if presence is not None \
+                    else jnp.ones((B, M), templates.dtype)
+                target_ll = fused_decoder_ll(
+                    templates, alpha,
+                    pose, full_presence,
+                    jax.nn.sigmoid(bg_value)[0],
+                    jax.nn.softplus(bg_mixing_logit)[0],
+                    scale, target, tuple(self.output_size),
+                    jnp.dtype(self.fused_tap_dtype).type)
+            else:
+                target_ll = pdf.log_prob(target)
+
         return PartDecoderResult(
             transformed_templates=transformed_templates,
             mixing_logits=template_mixing_logits,
             pdf=pdf,
+            target_ll=target_ll,
         )

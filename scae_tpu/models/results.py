@@ -11,7 +11,7 @@ outputs (alternative reconstructions, classifier probabilities).
 from typing import Optional
 
 import jax
-from flax import struct
+from flax import struct  # noqa: F401
 
 from scae_tpu.ops.gmm import GaussianMixture
 
@@ -34,6 +34,10 @@ class PartDecoderResult:
     transformed_templates: jax.Array  # (B, M+1, C, H, W) incl. background
     mixing_logits: jax.Array          # (B, M+1, C, H, W)
     pdf: GaussianMixture
+    # per-pixel mixture log-likelihood of a provided target, computed by
+    # the fused custom-VJP path (ops/decoder_ll.py); None if no target
+    # was passed to the decoder
+    target_ll: Optional[jax.Array] = None
 
 
 @struct.dataclass

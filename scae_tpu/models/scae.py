@@ -127,8 +127,11 @@ class SCAE(nn.Module):
         else:
             raise ValueError(f"Invalid presence_type: {self.presence_type}")
 
+        # target=image -> rec.target_ll is computed on the fused
+        # custom-VJP path (the reconstruction target is always the input
+        # image, stacked_capsule_auto_encoder.py:220 / base_experiment)
         rec = self.part_decoder(templates=templates, pose=part_dec_vote,
-                                presence=part_dec_presence)
+                                presence=part_dec_presence, target=image)
 
         bottom_up_rec = top_down_rec = top_down_per_caps_rec = None
         if self.reconstruct_alternatives:
@@ -200,7 +203,10 @@ class SCAE(nn.Module):
         log = {}
         B = reconstruction_target.shape[0]
 
-        rec_ll_per_pixel = res.rec.pdf.log_prob(reconstruction_target)
+        if res.rec.target_ll is not None:
+            rec_ll_per_pixel = res.rec.target_ll  # fused path (fwd target)
+        else:
+            rec_ll_per_pixel = res.rec.pdf.log_prob(reconstruction_target)
         rec_ll = jnp.mean(jnp.sum(rec_ll_per_pixel.reshape(B, -1), axis=-1))
         loss = -rec_ll
         log["rec_ll_loss"] = -rec_ll

@@ -48,3 +48,22 @@ def multiple_attention_pooling_2d(feature_map, n_attention_map):
     x = multiple_soft_attention(feature_map, n_attention_map)
     B, C = x.shape[:2]
     return jnp.sum(x.reshape(B, C, -1), axis=-1)[..., None, None]
+
+
+def attention_pooling_2d_explicit(feature_map, attention_map):
+    """Pool feature_map (B,C,H,W) by an explicit attention map (B,1,H,W)
+    (reference nn_ext.py:104-109). Returns (B, C, 1, 1)."""
+    x = soft_attention(feature_map, attention_map)
+    B, C = x.shape[:2]
+    return jnp.sum(x.reshape(B, C, -1), axis=-1)[..., None, None]
+
+
+def attention_pooling_2d(feature_map, attention_channel_index):
+    """Pool using one channel of feature_map as the attention logit
+    (reference nn_ext.py:112-125). Returns (B, C-1, 1, 1)."""
+    B, C, H, W = feature_map.shape
+    i = attention_channel_index % C
+    attention_map = feature_map[:, i:i + 1]
+    real = jnp.concatenate([feature_map[:, :i], feature_map[:, i + 1:]],
+                           axis=1)
+    return attention_pooling_2d_explicit(real, attention_map)

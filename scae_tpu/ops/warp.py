@@ -44,17 +44,11 @@ def _base_grid(out_size, dtype=jnp.float32):
     return gx, gy
 
 
-def bilinear_weight_matrices(pose, template_size, out_size):
-    """Compute the bilinear tap-weight matrices for an affine warp.
+def source_coordinates(pose, template_size, out_size):
+    """Per-output-pixel source pixel coordinates under the affine map.
 
-    Args:
-      pose: [..., 6] flat affine rows (a, b, tx, c, d, ty) — the same layout
-        the reference feeds to ``F.affine_grid`` (part_decoder.py:176).
-      template_size: (Ht, Wt) of the source template.
-      out_size: (H, W) of the output canvas.
-
-    Returns:
-      (Wx, Wy): ([..., H*W, Wt], [..., H*W, Ht]) weight matrices.
+    Returns (ix, iy): ([..., P], [..., P]) in input-pixel units
+    (align_corners=False convention).
     """
     Ht, Wt = template_size
     H, W = out_size
@@ -65,18 +59,39 @@ def bilinear_weight_matrices(pose, template_size, out_size):
     gy = gy.reshape(-1)
 
     a, b, tx, c, d, ty = [pose[..., i] for i in range(6)]
-    # source normalized coords per output pixel: [..., P]
     sx = a[..., None] * gx + b[..., None] * gy + tx[..., None]
     sy = c[..., None] * gx + d[..., None] * gy + ty[..., None]
 
-    # to input pixel coordinates (align_corners=False)
     ix = ((sx + 1.0) * Wt - 1.0) * 0.5           # [..., P]
     iy = ((sy + 1.0) * Ht - 1.0) * 0.5
+    return ix, iy
 
-    cols = jnp.arange(Wt, dtype=dtype)
-    rows = jnp.arange(Ht, dtype=dtype)
-    Wx = jnp.maximum(0.0, 1.0 - jnp.abs(ix[..., None] - cols))  # [..., P, Wt]
-    Wy = jnp.maximum(0.0, 1.0 - jnp.abs(iy[..., None] - rows))  # [..., P, Ht]
+
+def bilinear_weight_matrices(pose, template_size, out_size):
+    """Compute the bilinear tap-weight matrices for an affine warp.
+
+    TPU layout note: the tap axis (size Wt/Ht, typically ~11) sits
+    SECOND-TO-LAST and the pixel axis (H*W) LAST, so the physical lane
+    dimension is the large one — a taps-last layout would get padded to
+    128 lanes (>10x memory/bandwidth bloat for 11-tap templates).
+
+    Args:
+      pose: [..., 6] flat affine rows (a, b, tx, c, d, ty) — the layout
+        the reference feeds to ``F.affine_grid`` (part_decoder.py:176).
+      template_size: (Ht, Wt) of the source template.
+      out_size: (H, W) of the output canvas.
+
+    Returns:
+      (Wx, Wy): ([..., Wt, H*W], [..., Ht, H*W]) weight matrices.
+    """
+    Ht, Wt = template_size
+    dtype = pose.dtype
+    ix, iy = source_coordinates(pose, template_size, out_size)
+
+    cols = jnp.arange(Wt, dtype=dtype)[:, None]   # (Wt, 1)
+    rows = jnp.arange(Ht, dtype=dtype)[:, None]   # (Ht, 1)
+    Wx = jnp.maximum(0.0, 1.0 - jnp.abs(ix[..., None, :] - cols))
+    Wy = jnp.maximum(0.0, 1.0 - jnp.abs(iy[..., None, :] - rows))
     return Wx, Wy
 
 
@@ -95,8 +110,9 @@ def affine_warp(templates, pose, out_size):
     *lead, C, Ht, Wt = templates.shape
     H, W = out_size
     Wx, Wy = bilinear_weight_matrices(pose, (Ht, Wt), (H, W))
-    # S[..., p, c, a] = sum_b Wx[..., p, b] * T[..., c, a, b]
-    S = jnp.einsum("...pb,...cab->...pca", Wx, templates)
-    # out[..., c, p] = sum_a S[..., p, c, a] * Wy[..., p, a]
-    out = jnp.einsum("...pca,...pa->...cp", S, Wy)
+    # pixels stay in the (last) lane axis throughout:
+    # S[..., c, h, p] = sum_w T[..., c, h, w] * Wx[..., w, p]
+    S = jnp.einsum("...chw,...wp->...chp", templates, Wx)
+    # out[..., c, p] = sum_h S[..., c, h, p] * Wy[..., h, p]
+    out = jnp.einsum("...chp,...hp->...cp", S, Wy)
     return out.reshape(*lead, C, H, W)

@@ -41,7 +41,10 @@ def main(argv=None):
 
     _enable_compilation_cache()
     trainer = Trainer(cfg)
-    trainer.run(resume=bool(cfg.get("resume", False)))
+    if cfg.get("mode", "train") == "test":
+        trainer.run_test()
+    else:
+        trainer.run(resume=bool(cfg.get("resume", False)))
 
 
 if __name__ == "__main__":

@@ -74,8 +74,8 @@ def find_mnist(data_dir: Optional[str] = None) -> Optional[Dict[str, np.ndarray]
     return None
 
 
-def synthetic_digits(n: int, seed: int = 0,
-                     size: int = 28) -> Tuple[np.ndarray, np.ndarray]:
+def synthetic_digits(n: int, seed: int = 0, size: int = 28,
+                     n_channels: int = 1) -> Tuple[np.ndarray, np.ndarray]:
     """Procedural digit-like images (uint8 HxW) + pseudo-labels.
 
     Each sample composes 2-4 oriented bar/arc strokes from a per-class
@@ -126,15 +126,34 @@ def synthetic_digits(n: int, seed: int = 0,
             acc[lo:hi] += contrib * active[lo:hi, None, None]
 
     peak = np.maximum(acc.max(axis=(1, 2), keepdims=True), 1e-6)
-    images = (np.clip(acc / peak, 0, 1) * 255).astype(np.uint8)
-    return images, labels.astype(np.int64)
+    gray = np.clip(acc / peak, 0, 1)
+    if n_channels == 1:
+        return (gray * 255).astype(np.uint8), labels.astype(np.int64)
+    # color variant: per-class tint + mild per-sample hue jitter
+    tints = np.random.RandomState(99).uniform(
+        0.3, 1.0, size=(10, n_channels)).astype(np.float32)
+    jitter = 1.0 + 0.15 * rng.randn(n, n_channels).astype(np.float32)
+    color = np.clip(tints[labels] * jitter, 0.0, 1.0)       # (n, C)
+    images = gray[..., None] * color[:, None, None, :]
+    return (images * 255).astype(np.uint8), labels.astype(np.int64)
+
+
+def to_nchw_float(images: np.ndarray) -> np.ndarray:
+    """uint8 (B, H, W) or (B, H, W, C) -> float32 (B, C, H, W) in [0,1]."""
+    x = images.astype(np.float32) / 255.0
+    if x.ndim == 3:
+        return x[:, None]
+    return np.transpose(x, (0, 3, 1, 2))
 
 
 class Dataset:
-    """In-memory dataset with shuffled mini-batch iteration."""
+    """In-memory dataset with shuffled mini-batch iteration.
+
+    images: uint8, (N, H, W) grayscale or (N, H, W, C) color.
+    """
 
     def __init__(self, images: np.ndarray, labels: np.ndarray):
-        assert images.ndim == 3  # (N, H, W) uint8
+        assert images.ndim in (3, 4)
         self.images = images
         self.labels = labels
 
@@ -151,24 +170,49 @@ class Dataset:
         for start in range(0, end, batch_size):
             sel = idx[start:start + batch_size]
             yield {
-                "image": (self.images[sel].astype(np.float32) / 255.0)
-                [:, None],  # (B, 1, H, W)
+                "image": to_nchw_float(self.images[sel]),
                 "label": self.labels[sel].astype(np.int32),
             }
 
 
+def find_npz(data_dir: Optional[str]) -> Optional[Dict[str, np.ndarray]]:
+    """Generic dataset dump: <dir>/{train,test}.npz with images/labels
+    keys (covers locally prepared SVHN/CIFAR in a zero-egress box)."""
+    if not data_dir or not os.path.isdir(data_dir):
+        return None
+    out = {}
+    for split in ("train", "test"):
+        path = os.path.join(data_dir, f"{split}.npz")
+        if not os.path.exists(path):
+            return None
+        with np.load(path) as z:
+            out[f"{split}_images"] = z["images"]
+            out[f"{split}_labels"] = z["labels"]
+    return out
+
+
 def load_datasets(data_dir: Optional[str] = None, val_size: int = 5000,
                   synthetic_train: int = 12000, synthetic_test: int = 2000,
-                  seed: int = 42):
-    """(train, val, test) Datasets from real MNIST if found, else synthetic."""
-    mnist = find_mnist(data_dir)
-    if mnist is not None:
+                  seed: int = 42, image_size: int = 28,
+                  n_channels: int = 1):
+    """(train, val, test) Datasets: npz dump > MNIST IDX > synthetic."""
+    npz = find_npz(data_dir)
+    mnist = None if npz else find_mnist(data_dir)
+    if npz is not None:
+        tr_im, tr_lb = npz["train_images"], npz["train_labels"]
+        te_im, te_lb = npz["test_images"], npz["test_labels"]
+        source = "npz"
+    elif mnist is not None:
         tr_im, tr_lb = mnist["train_images"], mnist["train_labels"]
         te_im, te_lb = mnist["test_images"], mnist["test_labels"]
         source = "mnist"
     else:
-        tr_im, tr_lb = synthetic_digits(synthetic_train, seed=seed)
-        te_im, te_lb = synthetic_digits(synthetic_test, seed=seed + 1)
+        tr_im, tr_lb = synthetic_digits(synthetic_train, seed=seed,
+                                        size=image_size,
+                                        n_channels=n_channels)
+        te_im, te_lb = synthetic_digits(synthetic_test, seed=seed + 1,
+                                        size=image_size,
+                                        n_channels=n_channels)
         source = "synthetic"
 
     # reference: 55000/5000 random_split at seed (mnist/experiment.py:47)

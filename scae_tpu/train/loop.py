@@ -28,17 +28,18 @@ import numpy as np
 
 from scae_tpu import factory
 from scae_tpu.optim import make_optimizer
-from scae_tpu.parallel.mesh import batch_sharding, make_mesh
+from scae_tpu.parallel.mesh import make_mesh
 from scae_tpu.parallel.train_step import (
     TrainState,
     create_train_state,
     make_eval_step,
-    make_train_step,
+    make_train_scan,
 )
 from scae_tpu.train import data as data_lib
 from scae_tpu.train.checkpoint import CheckpointManager
 from scae_tpu.train.metrics import (
     MetricsWriter,
+    Profiler,
     write_reconstruction_grids,
 )
 
@@ -98,6 +99,11 @@ class Trainer:
         self.max_shift = aug.get("max_shift", 0)
         self.center_pad = make_center_pad_fn(self.canvas)
 
+        prof = trainer_cfg.get("profile") or {}
+        self.profiler = Profiler(self.log_dir,
+                                 start_step=prof.get("start_step", -1),
+                                 n_steps=prof.get("n_steps", 3))
+
     def build_steps(self, steps_per_epoch: int):
         opt_cfg = self.cfg["optimizer"]
         la = self.cfg.get("lookahead") or {}
@@ -114,50 +120,23 @@ class Trainer:
             decay_steps=steps_per_epoch,
         )
         augment = make_augment_fn(self.canvas, self.max_shift)
-
-        # The whole fused SPMD step: device-side batch gather (the dataset
-        # lives in device memory — no per-step host transfer beyond a tiny
-        # index vector), uint8 -> f32 decode, pad + random-translate
-        # augmentation, forward, 8-term loss, grad, optimizer update.
-        import optax as _optax
-        tx = self.tx
-        model = self.model
-
-        def fused(state: TrainState, data, idx):
-            images = jnp.take(data["image"], idx, axis=0)
-            images = images.astype(jnp.float32) / 255.0
-            if images.ndim == 3:
-                images = images[:, None]  # (B, 1, H, W)
-            labels = jnp.take(data["label"], idx, axis=0)
-            batch = {"image": images, "label": labels}
-
-            aug_rng = jax.random.fold_in(
-                jax.random.fold_in(state.rng, state.step), 7)
-            batch = augment(batch, aug_rng)
-            step_rng = jax.random.fold_in(state.rng, state.step)
-
-            def lf(params):
-                res = model.apply({"params": params}, batch["image"],
-                                  deterministic=False,
-                                  rngs={"noise": step_rng})
-                loss, log = model.loss(res, batch["image"],
-                                       batch.get("label"))
-                return loss, log
-
-            (loss, log), grads = jax.value_and_grad(lf, has_aux=True)(
-                state.params)
-            updates, opt_state = tx.update(grads, state.opt_state,
-                                           state.params)
-            params = _optax.apply_updates(state.params, updates)
-            metrics = dict(log)
-            metrics["loss"] = loss
-            return state.replace(step=state.step + 1, params=params,
-                                 opt_state=opt_state), metrics
-
-        bsh = batch_sharding(self.mesh)
-        self.train_step = jax.jit(fused, in_shardings=(None, None, bsh),
-                                  donate_argnums=(0,))
+        # K fused steps per dispatch (device-resident data, on-device
+        # augmentation, scan over the log interval)
+        self.train_scan = make_train_scan(self.model, self.tx,
+                                          augment_fn=augment,
+                                          mesh=self.mesh)
         self.eval_step = make_eval_step(self.model, mesh=self.mesh)
+
+        # lr bookkeeping for the per-epoch log (base_experiment.py:98-104)
+        lr0 = float(opt_cfg["learning_rate"])
+        decay = (self.cfg.get("lr_scheduler") or {}).get("decay_rate")
+
+        def lr_at(step: int) -> float:
+            if not decay or decay == 1.0:
+                return lr0
+            return lr0 * decay ** (step // steps_per_epoch)
+
+        self.lr_at = lr_at
 
     def init_state(self, seed: int) -> TrainState:
         example = {
@@ -201,6 +180,36 @@ class Trainer:
         write_reconstruction_grids(self.writer, step, res,
                                    np.asarray(images), max_n=max_n)
 
+    def run_test(self):
+        """Evaluate the best/latest checkpoint on the test set.
+
+        The reference's test path was broken (test_step stored the
+        (loss, log) tuple and crashed on stacking, base_experiment.py:
+        186-202, SURVEY.md §2.4(3)); this is the working equivalent —
+        with the test split getting the same canvas treatment as
+        train/val (fixing §2.4(8)).
+        """
+        cfg = self.cfg
+        seed = cfg.get("seed", 42)
+        c, h, _ = cfg["model"]["image_shape"]
+        train_ds, _, test_ds, source = data_lib.load_datasets(
+            data_dir=cfg["data_loader"].get("data_dir"), seed=seed,
+            image_size=min(h, 28 if c == 1 else h), n_channels=c)
+        steps_per_epoch = max(len(train_ds) // self.batch_size, 1)
+        self.build_steps(steps_per_epoch)
+        state = self.init_state(seed)
+        assert self.ckpt.latest_step is not None, "no checkpoint to test"
+        step = self.ckpt.best_step or self.ckpt.latest_step
+        state = self.ckpt.restore(state, step=step)
+        metrics, _ = self.evaluate(state.params, test_ds)
+        metrics = {k.replace("val_", "test_"): v for k, v in metrics.items()}
+        self.writer.scalars(int(state.step), metrics)
+        print(f"[scae_tpu] test @ ckpt {step} ({source}): "
+              + ", ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items())
+                          if k in ("test_loss", "test_accuracy",
+                                   "test_rec_ll_loss")))
+        return metrics
+
     def run(self, max_epochs: Optional[int] = None,
             max_steps: Optional[int] = None, resume: bool = False):
         cfg = self.cfg
@@ -209,9 +218,12 @@ class Trainer:
         max_epochs = max_epochs or trainer_cfg.get("max_epochs", 1)
         log_every = trainer_cfg.get("log_every_steps", 50)
 
+        c, h, _ = cfg["model"]["image_shape"]
         train_ds, val_ds, test_ds, source = data_lib.load_datasets(
             data_dir=cfg["data_loader"].get("data_dir"),
-            seed=seed)
+            seed=seed,
+            image_size=min(h, 28 if c == 1 else h),
+            n_channels=c)
         print(f"[scae_tpu] dataset source: {source} "
               f"(train={len(train_ds)}, val={len(val_ds)}, "
               f"test={len(test_ds)})")
@@ -223,7 +235,7 @@ class Trainer:
             state = self.ckpt.restore(state)
             print(f"[scae_tpu] resumed from step {int(state.step)}")
 
-        # dataset lives on device; per step only a (B,) index vector moves
+        # dataset lives on device; per chunk only a (K, B) index array moves
         device_data = {
             "image": jnp.asarray(train_ds.images),  # uint8, decoded on device
             "label": jnp.asarray(train_ds.labels.astype(np.int32)),
@@ -236,20 +248,30 @@ class Trainer:
             perm = np.random.RandomState(seed + epoch).permutation(
                 len(train_ds))
             n_steps = len(train_ds) // self.batch_size
-            for i in range(n_steps):
-                idx = jnp.asarray(
-                    perm[i * self.batch_size:(i + 1) * self.batch_size]
-                    .astype(np.int32))
-                state, metrics = self.train_step(state, device_data, idx)
-                global_step += 1
-                if global_step % log_every == 0:
-                    metrics = jax.device_get(metrics)
-                    rate = (log_every * self.batch_size
-                            / max(time.time() - t0, 1e-9))
-                    t0 = time.time()
-                    self.writer.scalars(global_step,
-                                        {**metrics,
-                                         "images_per_sec": rate})
+            if max_steps is not None:
+                n_steps = min(n_steps, max_steps - global_step)
+            if n_steps <= 0:
+                stop = True
+            i = 0
+            while i < n_steps:
+                self.profiler.maybe_start(global_step)
+                k = min(log_every, n_steps - i)
+                idxs = jnp.asarray(
+                    perm[i * self.batch_size:(i + k) * self.batch_size]
+                    .astype(np.int32).reshape(k, self.batch_size))
+                state, metrics = self.train_scan(state, device_data, idxs)
+                i += k
+                global_step += k
+                # log the chunk's last step (means available in the stack)
+                metrics = jax.device_get(
+                    jax.tree.map(lambda m: m[-1], metrics))
+                rate = k * self.batch_size / max(time.time() - t0, 1e-9)
+                t0 = time.time()
+                self.writer.scalars(global_step,
+                                    {**metrics, "images_per_sec": rate,
+                                     "learning_rate":
+                                     self.lr_at(global_step)})
+                self.profiler.maybe_stop(global_step)
                 if max_steps is not None and global_step >= max_steps:
                     stop = True
                     break

@@ -61,10 +61,11 @@ def test_matches_naive_oracle_random_poses():
 def test_weight_matrices_rows_sum_le_one():
     pose = jnp.asarray([[0.5, 0.1, 0.2, -0.1, 0.7, -0.3]])
     Wx, Wy = bilinear_weight_matrices(pose, (11, 11), (16, 16))
-    assert Wx.shape == (1, 256, 11) and Wy.shape == (1, 256, 11)
+    # taps second-to-last, pixels last (TPU lane axis)
+    assert Wx.shape == (1, 11, 256) and Wy.shape == (1, 11, 256)
     # bilinear taps sum to exactly 1 in-range, < 1 when clipped at borders
-    assert float(jnp.max(jnp.sum(Wx, -1))) <= 1.0 + 1e-5
-    assert float(jnp.max(jnp.sum(Wy, -1))) <= 1.0 + 1e-5
+    assert float(jnp.max(jnp.sum(Wx, -2))) <= 1.0 + 1e-5
+    assert float(jnp.max(jnp.sum(Wy, -2))) <= 1.0 + 1e-5
 
 
 def test_gradients_flow_to_pose_and_template():

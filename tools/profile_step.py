@@ -1,33 +1,47 @@
-"""Break down train-step time on the real chip: which stage dominates?
+"""Per-stage timing on the real chip with TRUE host sync (value read).
 
-Usage: python tools/profile_step.py [batch]
+The axon platform's block_until_ready can return early; every timing here
+forces a scalar transfer. Usage: python tools/profile_step.py [batch]
 """
 
 import sys
 import time
 
+sys.path.insert(0, "/root/repo")
+
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from scae_tpu.factory import make_scae
 from scae_tpu.optim import make_optimizer
-from scae_tpu.parallel.train_step import create_train_state
-from scae_tpu.train.data import random_translate
+from scae_tpu.parallel.train_step import (
+    create_train_state,
+    make_fused_train_step,
+)
+from scae_tpu.train.loop import make_augment_fn
 
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 
 
-def timeit(fn, *args, n=30, warmup=5):
+def timeit(fn, *args, n=20, warmup=3):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    float(jnp.sum(jax.tree.leaves(out)[0]))
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    float(jnp.sum(jax.tree.leaves(out)[0]))
     return (time.perf_counter() - t0) / n * 1e3  # ms
+
+
+def scalarize(f):
+    """Reduce outputs to one scalar so only tiny transfers happen."""
+    def g(*args):
+        out = f(*args)
+        return jax.tree.map(lambda x: jnp.sum(x),
+                            jax.tree.leaves(out)[0])
+    return g
 
 
 def main():
@@ -38,87 +52,84 @@ def main():
     ))
     tx = make_optimizer("rmsprop", 3e-5, batch_size=BATCH)
     rng = np.random.RandomState(0)
-    batch = {
-        "image": jnp.asarray(rng.rand(BATCH, 1, 40, 40), jnp.float32),
-        "label": jnp.asarray(rng.randint(0, 10, BATCH), jnp.int32),
-    }
+    img = jnp.asarray(rng.rand(BATCH, 1, 40, 40), jnp.float32)
+    label = jnp.asarray(rng.randint(0, 10, BATCH), jnp.int32)
+    batch = {"image": img, "label": label}
     state = create_train_state(model, tx, batch, jax.random.PRNGKey(0))
     params = state.params
-    key = jax.random.PRNGKey(1)
 
-    # stage 1: part encoder only
-    pe_fn = jax.jit(lambda p, x: model.part_encoder.apply(
-        {"params": p["part_encoder"]}, x))
-    print(f"part_encoder fwd: {timeit(pe_fn, params, batch['image']):.3f} ms")
+    report = {}
 
-    # full forward
-    fwd = jax.jit(lambda p, x: model.apply(
-        {"params": p}, x, deterministic=True).obj.log_prob)
-    print(f"full fwd:         {timeit(fwd, params, batch['image']):.3f} ms")
+    # sub-stage forwards
+    pe = jax.jit(scalarize(lambda p, x: model.part_encoder.apply(
+        {"params": p["part_encoder"]}, x).pose))
+    report["part_encoder fwd"] = timeit(pe, params, img)
 
-    # forward + loss
+    def fwd_all(p, x):
+        return model.apply({"params": p}, x, deterministic=True)
+
+    f_fwd = jax.jit(scalarize(lambda p, x: fwd_all(p, x).obj.log_prob))
+    report["full fwd"] = timeit(f_fwd, params, img)
+
     def floss(p, x, y):
         res = model.apply({"params": p}, x, deterministic=True)
         return model.loss(res, x, y)[0]
 
-    fl = jax.jit(floss)
-    print(f"fwd+loss:         "
-          f"{timeit(fl, params, batch['image'], batch['label']):.3f} ms")
+    report["fwd+loss"] = timeit(jax.jit(floss), params, img, label)
 
-    # grad
-    gr = jax.jit(lambda p, x, y: jax.grad(floss)(p, x, y))
-    g = gr(params, batch["image"], batch["label"])
-    print(f"fwd+loss+grad:    "
-          f"{timeit(gr, params, batch['image'], batch['label']):.3f} ms")
+    def fgrad(p, x, y):
+        loss, grads = jax.value_and_grad(floss)(p, x, y)
+        return loss + sum(jnp.sum(jnp.abs(g))
+                          for g in jax.tree.leaves(grads)) * 0.0
+    report["fwd+loss+grad"] = timeit(jax.jit(fgrad), params, img, label)
 
-    # full step
-    def step(state, batch):
-        aug_rng = jax.random.fold_in(state.rng, state.step)
-        images = random_translate(batch["image"], aug_rng, max_shift=6)
-        step_rng = jax.random.fold_in(state.rng, state.step + 1)
+    # full fused step (as trained)
+    augment = make_augment_fn(canvas=40, max_shift=6)
+    step = make_fused_train_step(model, tx, augment)
+    n_data = 1024
+    data = {"image": jnp.asarray(rng.randint(0, 256, (n_data, 28, 28)),
+                                 jnp.uint8),
+            "label": jnp.asarray(rng.randint(0, 10, n_data), jnp.int32)}
+    idx = jnp.asarray(rng.randint(0, n_data, (BATCH,)).astype(np.int32))
+    jstep = jax.jit(lambda s, d, i: step(s, d, i)[1]["loss"])
+    report["full train step"] = timeit(jstep, state, data, idx)
 
-        def lf(p):
-            res = model.apply({"params": p}, images, deterministic=False,
-                              rngs={"noise": step_rng})
-            return model.loss(res, images, batch["label"])[0]
+    # decoder + ll alone
+    M = 40
+    templates = jnp.asarray(rng.rand(BATCH, M, 1, 11, 11), jnp.float32)
+    pose = jnp.asarray(rng.randn(BATCH, M, 6) * 0.1
+                       + np.asarray([1, 0, 0, 0, 1, 0]), jnp.float32)
+    presence = jnp.asarray(rng.rand(BATCH, M), jnp.float32)
 
-        loss, grads = jax.value_and_grad(lf)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        return state.replace(step=state.step + 1, params=new_params,
-                             opt_state=opt_state), loss
-
-    stf = jax.jit(step)
-
-    def run_step(s, b):
-        s2, l = stf(s, b)
-        return l
-
-    print(f"full train step:  {timeit(run_step, state, batch):.3f} ms"
-          f"  (-> {BATCH / (timeit(run_step, state, batch) / 1e3):.0f}"
-          " img/s)")
-
-    # decoder-only (warp + GMM ll) timing
-    B, M = BATCH, 40
-    templates = jnp.asarray(rng.rand(B, M, 1, 11, 11), jnp.float32)
-    pose = jnp.asarray(rng.randn(B, M, 6) * 0.1 + np.asarray(
-        [1, 0, 0, 0, 1, 0]), jnp.float32)
-    presence = jnp.asarray(rng.rand(B, M), jnp.float32)
-
-    def dec_ll(p, t, po, pr, target):
+    def dec_ll(p, t, po, pr, tgt):
         out = model.part_decoder.apply({"params": p["part_decoder"]},
                                        t, po, pr)
-        return jnp.sum(out.pdf.log_prob(target))
+        return jnp.sum(out.pdf.log_prob(tgt))
 
-    dl = jax.jit(dec_ll)
-    print(f"decoder+ll fwd:   "
-          f"{timeit(dl, params, templates, pose, presence, batch['image']):.3f}"
-          " ms")
-    dlg = jax.jit(jax.grad(dec_ll, argnums=(1, 2, 3)))
-    out = dlg(params, templates, pose, presence, batch["image"])
-    print(f"decoder+ll grad:  "
-          f"{timeit(dlg, params, templates, pose, presence, batch['image']):.3f}"
-          " ms")
+    report["decoder+ll fwd"] = timeit(jax.jit(dec_ll), params, templates,
+                                      pose, presence, img)
+    dgrad = jax.jit(lambda p, t, po, pr, tgt: sum(
+        jnp.sum(jnp.abs(g)) for g in jax.tree.leaves(
+            jax.grad(dec_ll, argnums=(1, 2, 3))(p, t, po, pr, tgt))))
+    report["decoder+ll grad"] = timeit(dgrad, params, templates, pose,
+                                       presence, img)
+
+    # set transformer alone
+    pwt = jnp.asarray(rng.rand(BATCH, M, 144), jnp.float32)
+    st = jax.jit(scalarize(lambda p, x, pr: model.obj_encoder.apply(
+        {"params": p["obj_encoder"]}, x, pr)))
+    report["set_transformer fwd"] = timeit(st, params, pwt, presence)
+
+    # capsule decoder alone
+    enc = jnp.asarray(rng.rand(BATCH, 32, 256), jnp.float32)
+    od = jax.jit(scalarize(lambda p, e, po, pr: model.obj_decoder.apply(
+        {"params": p["obj_decoder"]}, e, po, pr).log_prob))
+    report["obj_decoder fwd"] = timeit(od, params, enc, pose, presence)
+
+    for k, v in report.items():
+        print(f"{k:24s} {v:8.3f} ms")
+    print(f"train-step throughput: {BATCH / report['full train step']:.1f}"
+          " img/ms")
 
 
 if __name__ == "__main__":
