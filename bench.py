@@ -40,6 +40,7 @@ def main():
         n_classes=10,
         n_part_caps=40,
         n_obj_caps=32,
+        pcae_cnn_encoder_params=dict(compute_dtype="bfloat16"),
         pcae_decoder_params=dict(fused_tap_dtype="bfloat16"),
         scae_params=dict(reconstruct_alternatives=False),
     ))

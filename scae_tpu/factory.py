@@ -55,6 +55,7 @@ def prepare_model_params(
         kernel_sizes=[3, 3, 3, 3],
         strides=[2, 2, 1, 1],
         activate_final=True,
+        compute_dtype=None,
     )
     pcae_cnn_encoder.update(pcae_cnn_encoder_params)
 
@@ -182,6 +183,7 @@ def make_scae(model_params: dict) -> SCAE:
         kernel_sizes=tuple(cnn['kernel_sizes']),
         strides=tuple(cnn['strides']),
         activate_final=cnn['activate_final'],
+        compute_dtype=cnn.get('compute_dtype'),
     )
 
     pe = config.pcae_encoder

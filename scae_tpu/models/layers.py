@@ -12,7 +12,7 @@ O per-capsule MLPs (object_decoder.py:86-107,137-157) with batched einsums
 that keep per-capsule independent weights.
 """
 
-from typing import Callable, Sequence
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -91,12 +91,15 @@ class TorchConv2d(nn.Module):
     """Valid-padded 2D conv on NCHW inputs with torch-default init.
 
     Matches torch nn.Conv2d(k, stride, padding=0) as used by the
-    reference's Conv2dStack (nn_ext.py:49-52).
+    reference's Conv2dStack (nn_ext.py:49-52). ``compute_dtype`` casts
+    activations+kernel (e.g. to bfloat16) with f32 accumulation — params
+    stay f32.
     """
 
     features: int
     kernel_size: int
     stride: int = 1
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):  # (B, C, H, W)
@@ -108,13 +111,16 @@ class TorchConv2d(nn.Module):
         kernel = self.param("kernel", torch_kernel_init,
                             (k, k, in_ch, self.features))
         bias = self.param("bias", torch_bias_init(fan_in), (self.features,))
+        if self.compute_dtype:
+            dt = jnp.dtype(self.compute_dtype)
+            x, kernel = x.astype(dt), kernel.astype(dt)
         y = jax.lax.conv_general_dilated(
             x, kernel,
             window_strides=(self.stride, self.stride),
             padding="VALID",
             dimension_numbers=("NCHW", "HWIO", "NCHW"),
         )
-        return y + bias[None, :, None, None]
+        return y.astype(jnp.float32) + bias[None, :, None, None]
 
 
 class MLP(nn.Module):
@@ -149,6 +155,7 @@ class Conv2dStack(nn.Module):
     strides: Sequence[int]
     activation: Callable = jax.nn.relu
     activate_final: bool = True
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):  # NCHW
@@ -156,7 +163,8 @@ class Conv2dStack(nn.Module):
         assert n == len(self.kernel_sizes) == len(self.strides)
         for i in range(n):
             x = TorchConv2d(self.out_channels[i], self.kernel_sizes[i],
-                            self.strides[i], name=f"conv_{i}")(x)
+                            self.strides[i], name=f"conv_{i}",
+                            compute_dtype=self.compute_dtype)(x)
             if i < n - 1 or self.activate_final:
                 x = self.activation(x)
         return x

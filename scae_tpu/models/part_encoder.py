@@ -15,7 +15,7 @@ Shape inference replaces the reference's dummy-forward ``measure_shape``
 (nn_utils.py:48-52) with static arithmetic (valid conv output sizes).
 """
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +40,7 @@ class CNNEncoder(nn.Module):
     kernel_sizes: Sequence[int]
     strides: Sequence[int]
     activate_final: bool = True
+    compute_dtype: Optional[str] = None        # e.g. 'bfloat16'
 
     @property
     def output_shape(self) -> Tuple[int, int, int]:
@@ -56,6 +57,7 @@ class CNNEncoder(nn.Module):
             kernel_sizes=tuple(self.kernel_sizes),
             strides=tuple(self.strides),
             activate_final=self.activate_final,
+            compute_dtype=self.compute_dtype,
             name="network",
         )(image)
 

@@ -144,3 +144,23 @@ def test_sparsity_losses():
         assert False
     except ValueError:
         pass
+
+
+def test_capsule_layer_hierarchical_parent_hooks():
+    """parent_transform/parent_presence substitution (reference
+    object_decoder.py:184-187,214-217)."""
+    layer = _layer(noise_type=None)
+    feat = jax.random.normal(jax.random.PRNGKey(9), (B, O, F))
+    variables = layer.init(jax.random.PRNGKey(0), feat)
+
+    parent_transform = jnp.broadcast_to(jnp.eye(3), (B, O, 1, 3, 3))
+    parent_presence = jnp.full((B, O, 1), 0.25)
+    res = layer.apply(variables, feat, parent_transform=parent_transform,
+                      parent_presence=parent_presence)
+    # with identity OVR, vote == OPR transform; presence capped by parent
+    assert res.vote.shape == (B, O, V, 3, 3)
+    assert float(jnp.max(res.vote_presence)) <= 0.25 + 1e-6
+
+    res_noparent = layer.apply(variables, feat)
+    assert not np.allclose(np.asarray(res.vote),
+                           np.asarray(res_noparent.vote))

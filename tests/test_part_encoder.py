@@ -58,3 +58,18 @@ def test_train_noise_changes_presence_only_with_rng():
     # pose unaffected by presence noise
     np.testing.assert_allclose(np.asarray(res_det.pose),
                                np.asarray(res_noise.pose), rtol=1e-6)
+
+
+def test_cnn_compute_dtype_bf16_close_to_f32():
+    cnn32 = _cnn()
+    img = jax.random.uniform(jax.random.PRNGKey(5), (2, 1, 28, 28))
+    variables = cnn32.init(jax.random.PRNGKey(0), img)
+    out32 = cnn32.apply(variables, img)
+    from scae_tpu.models.part_encoder import CNNEncoder
+    cnn16 = CNNEncoder(input_shape=(1, 28, 28), out_channels=(32,) * 4,
+                       kernel_sizes=(3,) * 4, strides=(2, 2, 1, 1),
+                       compute_dtype="bfloat16")
+    out16 = cnn16.apply(variables, img)
+    assert out16.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out16), np.asarray(out32),
+                               rtol=0.1, atol=0.1)
