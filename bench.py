@@ -21,7 +21,7 @@ import numpy as np
 NORTH_STAR = 20_000.0  # images/sec/chip, BASELINE.json north_star
 BATCH = 128
 SCAN_STEPS = 100       # steps fused per dispatch (amortizes link latency)
-REPEATS = 4            # timed dispatches; best-of is reported (the
+REPEATS = 6            # timed dispatches; best-of is reported (the
                        # tunneled chip shows large run-to-run latency
                        # variance from the shared link)
 

@@ -7,15 +7,19 @@ materializes ~14 copies of the (B, M, taps, H*W) tap-weight tensor in HBM
 tools/hlo_decoder.py), making the decoder backward ~85% of the train step.
 This implementation:
 
-  * recomputes the tap-weight matrices Wx/Wy from the pose in both passes
-    instead of saving them (elementwise, cheap),
-  * stores tap-weight tensors in bfloat16 (f32 accumulation via
-    preferred_element_type) — tap weights are exact in bf16 whenever the
-    bilinear fractions have <=8 significand bits and within ~3e-3
-    otherwise, far below the loss scale,
-  * saves only the small per-component values/logits (B, M, C, P) from
-    the forward,
-  * computes exactly the minimal set of backward contractions.
+  * stores tap-weight tensors in bfloat16 (matmuls still accumulate
+    f32) — tap weights are exact in bf16 whenever the bilinear fractions
+    have <=8 significand bits and within ~3e-3 otherwise, far below the
+    loss scale,
+  * produces tap-sized intermediates directly in the tap dtype (an f32
+    einsum + cast materializes each twice),
+  * saves the forward's tap matrices Wx/Wy and partial products S/Sa as
+    residuals and REUSES them in the backward (a recompute costs an
+    extra write+read of each on a bandwidth-bound step), plus the small
+    per-component values/logits (B, M, C, P),
+  * computes exactly the minimal set of backward contractions (the
+    cotangent-times-tap products U/Ua serve both the template grads and
+    the tap-weight grads).
 
 Math. With components m = 1..M (warped templates) + background:
     value_m[c,p]  = sum_{h,w} T_m[c,h,w] * Wy_m[h,p] * Wx_m[w,p]
@@ -73,25 +77,34 @@ def _taps(ix, n, dtype):
     return jnp.maximum(0.0, 1.0 - jnp.abs(ix[..., None, :] - w)).astype(dtype)
 
 
-def _dtaps(ix, n):
-    """dW/dix = -sign(ix - w) * 1{|ix - w| < 1} -> (..., n, P) f32."""
+def _dtaps(ix, n, dtype):
+    """dW/dix = -sign(ix - w) * 1{|ix - w| < 1} -> (..., n, P).
+
+    Values are exactly representable in bf16 (±1/0), so the tap dtype is
+    lossless here and halves a (B, M, taps, P)-sized tensor.
+    """
     w = jnp.arange(n, dtype=ix.dtype)[:, None]
     diff = ix[..., None, :] - w
-    return jnp.where(jnp.abs(diff) < 1.0, -jnp.sign(diff), 0.0)
+    return jnp.where(jnp.abs(diff) < 1.0, -jnp.sign(diff),
+                     0.0).astype(dtype)
 
 
 def _warp_values(templates, alpha, Wx, Wy):
-    """(V, Alogit): (B,M,C,P) and (B,M,P); f32 accumulation."""
+    """(V, Alogit): (B,M,C,P) and (B,M,P); final outputs f32.
+
+    Intermediates that get consumed in tap dtype are PRODUCED in tap
+    dtype (no preferred_element_type): an f32 einsum output followed by a
+    bf16 cast materializes the (B,M,taps,P)-sized tensor twice — measured
+    as the single largest HBM cost of the train step (tools/step_cost.py).
+    """
     tap = Wx.dtype
-    S = jnp.einsum("bmchw,bmwp->bmchp", templates.astype(tap), Wx,
-                   preferred_element_type=jnp.float32).astype(tap)
+    S = jnp.einsum("bmchw,bmwp->bmchp", templates.astype(tap), Wx)
     V = jnp.einsum("bmchp,bmhp->bmcp", S, Wy,
                    preferred_element_type=jnp.float32)
-    Sa = jnp.einsum("bmhw,bmwp->bmhp", alpha.astype(tap), Wx,
-                    preferred_element_type=jnp.float32).astype(tap)
+    Sa = jnp.einsum("bmhw,bmwp->bmhp", alpha.astype(tap), Wx)
     Alogit = jnp.einsum("bmhp,bmhp->bmp", Sa, Wy,
                         preferred_element_type=jnp.float32)
-    return V, Alogit
+    return V, Alogit, S, Sa
 
 
 def _mixture_ll(V, Alogit, presence, bg_value, bg_mixing_logit, scale,
@@ -133,11 +146,12 @@ def _forward(templates, alpha, pose, presence, bg_value, bg_mixing_logit,
     Wx = _taps(ix, Wt, tap_dtype)
     Wy = _taps(iy, Ht, tap_dtype)
     alpha_b = jnp.broadcast_to(alpha[:, :, 0], (B, M, Ht, Wt))
-    V, Alogit = _warp_values(templates, alpha_b, Wx, Wy)
+    V, Alogit, S, Sa = _warp_values(templates, alpha_b, Wx, Wy)
     tgt = target.reshape(B, C, P)
     ll, num_lse, den_lse, *_ = _mixture_ll(
         V, Alogit, presence, bg_value, bg_mixing_logit, scale, tgt)
-    return ll.reshape(B, C, H, W), (V, Alogit, num_lse, den_lse)
+    return ll.reshape(B, C, H, W), (V, Alogit, num_lse, den_lse,
+                                    Wx, Wy, S, Sa)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
@@ -161,16 +175,16 @@ def _fwd(templates, alpha, pose, presence, bg_value, bg_mixing_logit,
     ll, saved = _forward(templates, alpha, pose, presence, bg_value,
                          bg_mixing_logit, scale, target, out_size,
                          tap_dtype)
-    V, Alogit, num_lse, den_lse = saved
+    V, Alogit, num_lse, den_lse, Wx, Wy, S, Sa = saved
     residuals = (templates, alpha, pose, presence, bg_value,
                  bg_mixing_logit, scale, target, V, Alogit, num_lse,
-                 den_lse)
+                 den_lse, Wx, Wy, S, Sa)
     return ll, residuals
 
 
 def _bwd(out_size, tap_dtype, residuals, g):
     (templates, alpha, pose, presence, bg_value, bg_mixing_logit, scale,
-     target, V, Alogit, num_lse, den_lse) = residuals
+     target, V, Alogit, num_lse, den_lse, Wx, Wy, S, Sa) = residuals
     B, M, C, Ht, Wt = templates.shape
     H, W = out_size
     P = H * W
@@ -181,10 +195,11 @@ def _bwd(out_size, tap_dtype, residuals, g):
     log_scale = jnp.log(scale)
     presq = log_safe(presence)
 
-    # recompute taps + mixture pieces (elementwise; no big residuals)
+    # taps Wx/Wy and the partial products S/Sa are fwd residuals (saved,
+    # not recomputed: this path is HBM-bandwidth bound and a recompute
+    # costs an extra write+read of each tap-sized tensor); only the cheap
+    # (B, M, P) source coordinates are recomputed for the tap derivative
     ix, iy, gx, gy = _coords(pose, (Ht, Wt), out_size)
-    Wx = _taps(ix, Wt, tap_dtype)
-    Wy = _taps(iy, Ht, tap_dtype)
 
     mix = Alogit + presq[..., None]                         # (B, M, P)
     diff = tgt[:, None] - V                                 # (B, M, C, P)
@@ -225,13 +240,15 @@ def _bwd(out_size, tap_dtype, residuals, g):
     gV_t = gV.astype(tap_dtype)
     gmix_t = gmix.astype(tap_dtype)
 
-    # g_T[c,h,w] = sum_p gV * Wy_h * Wx_w
-    U = jnp.einsum("bmcp,bmhp->bmchp", gV_t, Wy,
-                   preferred_element_type=jnp.float32).astype(tap_dtype)
+    # g_T[c,h,w] = sum_p gV * Wy_h * Wx_w.
+    # (B, M, taps, P)-sized intermediates are produced directly in the
+    # tap dtype — an f32 einsum + cast would materialize them twice
+    # (tools/step_cost.py); the small (B, M, ..., taps, taps) gradient
+    # outputs keep f32 accumulation.
+    U = jnp.einsum("bmcp,bmhp->bmchp", gV_t, Wy)            # tap dtype
     g_templates = jnp.einsum("bmchp,bmwp->bmchw", U, Wx,
                              preferred_element_type=jnp.float32)
-    Ua = (gmix_t[:, :, None].astype(jnp.float32)
-          * Wy.astype(jnp.float32)).astype(tap_dtype)       # (B, M, Ht, P)
+    Ua = gmix_t[:, :, None] * Wy                            # (B, M, Ht, P)
     g_alpha_full = jnp.einsum("bmhp,bmwp->bmhw", Ua, Wx,
                               preferred_element_type=jnp.float32)
     # alpha may be broadcast over batch: reduce to its true shape
@@ -240,28 +257,27 @@ def _bwd(out_size, tap_dtype, residuals, g):
     else:
         g_alpha = g_alpha_full[:, :, None]
 
-    # g_Wx[w,p] = sum_{c,h} gV*T*Wy + gmix*A*Wy  (then chain to ix)
-    TWy = jnp.einsum("bmchw,bmhp->bmcwp", templates.astype(tap_dtype), Wy,
-                     preferred_element_type=jnp.float32).astype(tap_dtype)
-    alpha_b = jnp.broadcast_to(alpha[:, :, 0], (B, M, Ht, Wt)) \
+    # g_Wx[w,p] = sum_{c,h} gV*T*Wy + gmix*A*Wy  (then chain to ix).
+    # Reuses U/Ua (= cotangent x Wy) from the template-grad path and
+    # contracts them against the SMALL template/alpha tensors, instead of
+    # building separate T(x)Wy / A(x)Wy tap-sized products — two fewer
+    # (B, M, taps, P) materializations on a bandwidth-bound step.
+    T_t = templates.astype(tap_dtype)
+    alpha_t = jnp.broadcast_to(alpha[:, :, 0], (B, M, Ht, Wt)) \
         .astype(tap_dtype)
-    AWy = jnp.einsum("bmhw,bmhp->bmwp", alpha_b, Wy,
-                     preferred_element_type=jnp.float32).astype(tap_dtype)
-    g_Wx = (jnp.einsum("bmcp,bmcwp->bmwp", gV_t, TWy,
-                       preferred_element_type=jnp.float32)
-            + gmix_t.astype(jnp.float32)[:, :, None] * AWy
-            .astype(jnp.float32))
-    g_ix = jnp.sum(g_Wx * _dtaps(ix, Wt), axis=2)           # (B, M, P)
+    g_Wx = jnp.einsum("bmchp,bmchw->bmwp", U, T_t) \
+        + jnp.einsum("bmhp,bmhw->bmwp", Ua, alpha_t)
+    g_ix = jnp.sum(g_Wx * _dtaps(ix, Wt, tap_dtype), axis=2,
+                   dtype=jnp.float32)                       # (B, M, P)
 
-    TWx = jnp.einsum("bmchw,bmwp->bmchp", templates.astype(tap_dtype), Wx,
-                     preferred_element_type=jnp.float32).astype(tap_dtype)
-    AWx = jnp.einsum("bmhw,bmwp->bmhp", alpha_b, Wx,
-                     preferred_element_type=jnp.float32).astype(tap_dtype)
-    g_Wy = (jnp.einsum("bmcp,bmchp->bmhp", gV_t, TWx,
-                       preferred_element_type=jnp.float32)
-            + gmix_t.astype(jnp.float32)[:, :, None] * AWx
-            .astype(jnp.float32))
-    g_iy = jnp.sum(g_Wy * _dtaps(iy, Ht), axis=2)           # (B, M, P)
+    # g_Wy reuses the FORWARD partial products: S = T(x)Wx and
+    # Sa = A(x)Wx, so no new tap-sized tensors are built at all:
+    # g_Wy[h,p] = sum_cw gV*T*Wx = sum_c gV[c,p]*S[c,h,p];
+    # alpha part = gmix[p]*Sa[h,p].
+    g_Wy = jnp.einsum("bmcp,bmchp->bmhp", gV_t, S) \
+        + gmix_t[:, :, None] * Sa
+    g_iy = jnp.sum(g_Wy * _dtaps(iy, Ht, tap_dtype), axis=2,
+                   dtype=jnp.float32)                       # (B, M, P)
 
     # pose chain: ix = ((a x + b y + tx + 1) Wt - 1)/2
     cx = 0.5 * Wt
