@@ -14,3 +14,5 @@ from scae_tpu.ops.pooling import (  # noqa: F401
 from scae_tpu.ops.attention import qkv_attention  # noqa: F401
 from scae_tpu.ops.warp import affine_warp, bilinear_weight_matrices  # noqa: F401
 from scae_tpu.ops.gmm import GaussianMixture  # noqa: F401
+from scae_tpu.ops.decoder_ll import fused_decoder_ll  # noqa: F401
+from scae_tpu.ops.pallas_attention import pallas_qkv_attention  # noqa: F401
