@@ -180,8 +180,11 @@ def make_optimizer(name: str,
         schedule = learning_rate
 
     if name == "rmsprop":
+        # eps_in_sqrt=False matches torch.optim.RMSprop's g/(sqrt(avg)+eps)
+        # (optax's legacy default puts eps inside the sqrt, which with the
+        # harness' tiny eps=1e-2/B^2 changes the dynamics materially)
         base = optax.rmsprop(schedule, decay=0.99, eps=eps,
-                             momentum=momentum)
+                             eps_in_sqrt=False, momentum=momentum)
     elif name == "radam":
         base = radam(schedule, eps=eps, weight_decay=weight_decay)
     elif name == "adam":

@@ -254,3 +254,23 @@ def test_radam_trajectory_golden():
     close(run(radam(0.05, eps=1e-8)), g["traj"], atol=2e-4)
     close(run(lookahead(radam(0.05, eps=1e-8), alpha=0.5, k=3)),
           g["traj_lookahead"], atol=2e-4)
+
+
+def test_rmsprop_trajectory_golden():
+    """optax.rmsprop(eps_in_sqrt=False) == torch.optim.RMSprop with the
+    harness' alpha/momentum/eps settings (base_experiment.py:48-56)."""
+    import optax
+
+    from scae_tpu.optim import make_optimizer
+    g, _ = load("rmsprop")
+    x0, target = jnp.asarray(g["x0"]), jnp.asarray(g["target"])
+    tx = make_optimizer("rmsprop", 0.01, batch_size=128, momentum=0.9)
+
+    params, state = x0, tx.init(x0)
+    traj = []
+    for _ in range(15):
+        grads = jax.grad(lambda p: jnp.sum((p - target) ** 2))(params)
+        updates, state = tx.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+        traj.append(np.asarray(params))
+    close(np.stack(traj), g["traj"], atol=5e-4)

@@ -322,6 +322,26 @@ def gen_radam():
          traj=run(False), traj_lookahead=run(True))
 
 
+def gen_rmsprop():
+    """torch.optim.RMSprop trajectory with the harness' settings
+    (base_experiment.py:48-56: alpha 0.99, momentum 0.9, eps=1e-2/B^2)."""
+    g = torch.Generator().manual_seed(58)
+    x0 = torch.randn(8, generator=g)
+    target = torch.randn(8, generator=g)
+    x = torch.nn.Parameter(x0.clone())
+    opt = torch.optim.RMSprop([x], lr=0.01, alpha=0.99, momentum=0.9,
+                              eps=1e-2 / 128 ** 2)
+    traj = []
+    for _ in range(15):
+        if x.grad is not None:
+            x.grad.zero_()
+        torch.sum((x - target) ** 2).backward()
+        opt.step()
+        traj.append(x.detach().clone().numpy())
+    save("rmsprop", x0=x0.numpy(), target=target.numpy(),
+         traj=np.stack(traj))
+
+
 if __name__ == "__main__":
     gen_geometric_transform()
     gen_grid_sample()
@@ -334,4 +354,5 @@ if __name__ == "__main__":
     gen_object_decoder()
     gen_scae()
     gen_radam()
+    gen_rmsprop()
     print("done")
