@@ -69,10 +69,12 @@ class SCAE(nn.Module):
         """image: (B, C, H, W) -> SCAEResult."""
         B = image.shape[0]
 
-        part_enc = self.part_encoder(image, deterministic=deterministic)
+        with jax.named_scope("pcae_encode"):
+            part_enc = self.part_encoder(image, deterministic=deterministic)
 
-        template_res = self.template_generator(feature=part_enc.feature,
-                                               batch_size=B)
+        with jax.named_scope("template_generate"):
+            template_res = self.template_generator(
+                feature=part_enc.feature, batch_size=B)
         templates = template_res.templates
 
         # ---- assemble OCAE input -----------------------------------------
@@ -97,7 +99,9 @@ class SCAE(nn.Module):
         parts_with_templates = jnp.concatenate(
             [input_part_param, input_templates], axis=-1)
 
-        obj_encoding = self.obj_encoder(parts_with_templates, input_presence)
+        with jax.named_scope("ocae_encode"):
+            obj_encoding = self.obj_encoder(parts_with_templates,
+                                            input_presence)
 
         # ---- OCAE decode --------------------------------------------------
         target_pose, target_presence = part_enc.pose, part_enc.presence
@@ -105,8 +109,10 @@ class SCAE(nn.Module):
             target_pose = stop_grad(target_pose)
             target_presence = stop_grad(target_presence)
 
-        obj = self.obj_decoder(obj_encoding, target_pose, target_presence,
-                               deterministic=deterministic)
+        with jax.named_scope("ocae_decode"):
+            obj = self.obj_decoder(obj_encoding, target_pose,
+                                   target_presence,
+                                   deterministic=deterministic)
 
         # ---- PCAE decode (reconstruction) ----------------------------------
         if self.vote_type == "enc":
@@ -130,8 +136,11 @@ class SCAE(nn.Module):
         # target=image -> rec.target_ll is computed on the fused
         # custom-VJP path (the reconstruction target is always the input
         # image, stacked_capsule_auto_encoder.py:220 / base_experiment)
-        rec = self.part_decoder(templates=templates, pose=part_dec_vote,
-                                presence=part_dec_presence, target=image)
+        with jax.named_scope("pcae_decode"):
+            rec = self.part_decoder(templates=templates,
+                                    pose=part_dec_vote,
+                                    presence=part_dec_presence,
+                                    target=image)
 
         bottom_up_rec = top_down_rec = top_down_per_caps_rec = None
         if self.reconstruct_alternatives:

@@ -128,6 +128,11 @@ def make_fused_train_step(model, tx: optax.GradientTransformation,
                               deterministic=False,
                               rngs={"noise": step_rng})
             loss, log = model.loss(res, batch["image"], batch["label"])
+            if model.n_classes and batch.get("label") is not None:
+                # train accuracy per step, as the reference harness logs
+                # (base_experiment.py:109-126); stop_gradient'd probs
+                log = dict(log, accuracy=model.calculate_accuracy(
+                    res, batch["label"]))
             return loss, log
 
         (loss, log), grads = jax.value_and_grad(lf, has_aux=True)(

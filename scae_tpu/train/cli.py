@@ -40,6 +40,12 @@ def main(argv=None):
     cfg = load_config("config", overrides=overrides)
 
     _enable_compilation_cache()
+    if (cfg.get("trainer") or {}).get("debug_nans"):
+        # the analog of the reference's sanitizer story (SURVEY.md §5):
+        # re-runs NaN-producing programs op-by-op and raises at the source
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     trainer = Trainer(cfg)
     if cfg.get("mode", "train") == "test":
         trainer.run_test()
