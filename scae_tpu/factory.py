@@ -95,6 +95,7 @@ def prepare_model_params(
         background_value=True,
         use_fused_ll=True,
         fused_tap_dtype='float32',
+        fused_impl='xla',
     )
     pcae_decoder.update(pcae_decoder_params)
 
@@ -117,6 +118,7 @@ def prepare_model_params(
         dim_out=256,
         n_outputs=n_obj_caps,
         layer_norm=True,
+        use_pallas_attention=False,
     )
     ocae_encoder_set_transformer.update(ocae_encoder_set_transformer_params)
 
@@ -218,6 +220,7 @@ def make_scae(model_params: dict) -> SCAE:
         background_value=pd['background_value'],
         use_fused_ll=pd.get('use_fused_ll', True),
         fused_tap_dtype=pd.get('fused_tap_dtype', 'float32'),
+        fused_impl=pd.get('fused_impl', 'xla'),
     )
 
     st = config.ocae_encoder_set_transformer
@@ -230,6 +233,7 @@ def make_scae(model_params: dict) -> SCAE:
         n_heads=st['n_heads'],
         layer_norm=st['layer_norm'],
         n_inducing_points=st.get('n_inducing_points'),
+        use_pallas_attention=st.get('use_pallas_attention', False),
     )
 
     oc = config.ocae_decoder_capsule

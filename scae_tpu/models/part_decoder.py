@@ -101,13 +101,18 @@ class TemplateBasedImageDecoder(nn.Module):
     learn_output_scale: bool = False
     use_alpha_channel: bool = False
     background_value: bool = True
-    # fused custom-VJP reconstruction log-likelihood (ops/decoder_ll.py):
-    # avoids the bandwidth-bound autodiff backward of warp+GMM. Applies
-    # when a target is passed, alpha-channel mixing is on, and no bg_image
-    # is given. Tap dtype 'bfloat16' halves the dominant HBM traffic;
-    # 'float32' for strict numerical parity.
+    # fused custom-VJP reconstruction log-likelihood: avoids the
+    # bandwidth-bound autodiff backward of warp+GMM. Applies when a target
+    # is passed, alpha-channel mixing is on, and no bg_image is given.
+    # fused_impl selects the implementation:
+    #   'xla'    — ops/decoder_ll.py (einsum form; tap dtype 'bfloat16'
+    #              halves the dominant HBM traffic, 'float32' for strict
+    #              numerical parity)
+    #   'pallas' — ops/pallas_decoder_ll.py (single VMEM-resident kernel;
+    #              tap-sized tensors never touch HBM; f32 numerics)
     use_fused_ll: bool = True
     fused_tap_dtype: str = "float32"
+    fused_impl: str = "xla"
 
     @nn.compact
     def __call__(self, templates, pose, presence=None, bg_image=None,
@@ -197,17 +202,25 @@ class TemplateBasedImageDecoder(nn.Module):
         if target is not None:
             if (self.use_fused_ll and self.use_alpha_channel
                     and bg_image is None):
-                from scae_tpu.ops.decoder_ll import fused_decoder_ll
-
                 full_presence = presence if presence is not None \
                     else jnp.ones((B, M), templates.dtype)
-                target_ll = fused_decoder_ll(
-                    templates, alpha,
-                    pose, full_presence,
-                    jax.nn.sigmoid(bg_value)[0],
-                    jax.nn.softplus(bg_mixing_logit)[0],
-                    scale, target, tuple(self.output_size),
-                    jnp.dtype(self.fused_tap_dtype).type)
+                fused_args = (templates, alpha, pose, full_presence,
+                              jax.nn.sigmoid(bg_value)[0],
+                              jax.nn.softplus(bg_mixing_logit)[0],
+                              scale, target)
+                if self.fused_impl == "pallas":
+                    from scae_tpu.ops.pallas_decoder_ll import (
+                        pallas_decoder_ll,
+                    )
+
+                    target_ll = pallas_decoder_ll(
+                        *fused_args, tuple(self.output_size))
+                else:
+                    from scae_tpu.ops.decoder_ll import fused_decoder_ll
+
+                    target_ll = fused_decoder_ll(
+                        *fused_args, tuple(self.output_size),
+                        jnp.dtype(self.fused_tap_dtype).type)
             else:
                 target_ll = pdf.log_prob(target)
 

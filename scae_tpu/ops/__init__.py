@@ -16,3 +16,4 @@ from scae_tpu.ops.warp import affine_warp, bilinear_weight_matrices  # noqa: F40
 from scae_tpu.ops.gmm import GaussianMixture  # noqa: F401
 from scae_tpu.ops.decoder_ll import fused_decoder_ll  # noqa: F401
 from scae_tpu.ops.pallas_attention import pallas_qkv_attention  # noqa: F401
+from scae_tpu.ops.pallas_decoder_ll import pallas_decoder_ll  # noqa: F401
