@@ -25,11 +25,17 @@ from scae_tpu.ops.attention import _MASK
 
 
 class MultiHeadQKVAttention(nn.Module):
-    """Multi-head attention with the reference's mask-before-scale order."""
+    """Multi-head attention with the reference's mask-before-scale order.
+
+    ``use_pallas`` routes the per-head attention through the fused Pallas
+    kernel (ops/pallas_attention.py) with heads folded into the batch;
+    identical math to the einsum path (mask-before-scale included).
+    """
 
     d_k: int
     d_v: int
     n_heads: int
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, queries, keys, values, presence=None):
@@ -47,17 +53,31 @@ class MultiHeadQKVAttention(nn.Module):
         k = k.reshape(B, M, H, d_k_p // H)
         v = v.reshape(B, M, H, d_v_p // H)
 
-        # routing per head; mask subtracted BEFORE the sqrt(d) scaling
-        # (set_transformer.py:40-43). d = per-head key dim, matching the
-        # reference where qkv_attention sees the split tensors.
-        routing = jnp.einsum("bnhd,bmhd->bhnm", q, k)
-        if presence is not None:
-            routing = routing - (1.0 - presence[:, None, None, :]) * _MASK
-        d_head = d_k_p // H
-        routing = jax.nn.softmax(
-            routing / jnp.sqrt(jnp.asarray(d_head, routing.dtype)), axis=-1)
+        if self.use_pallas:
+            from scae_tpu.ops.pallas_attention import pallas_qkv_attention
 
-        o = jnp.einsum("bhnm,bmhd->bnhd", routing, v).reshape(B, N, d_v_p)
+            qh = q.transpose(0, 2, 1, 3).reshape(B * H, N, d_k_p // H)
+            kh = k.transpose(0, 2, 1, 3).reshape(B * H, M, d_k_p // H)
+            vh = v.transpose(0, 2, 1, 3).reshape(B * H, M, d_v_p // H)
+            ph = None if presence is None else jnp.repeat(presence, H,
+                                                          axis=0)
+            oh = pallas_qkv_attention(qh, kh, vh, ph).astype(q.dtype)
+            o = oh.reshape(B, H, N, d_v_p // H).transpose(0, 2, 1, 3) \
+                .reshape(B, N, d_v_p)
+        else:
+            # routing per head; mask subtracted BEFORE the sqrt(d) scaling
+            # (set_transformer.py:40-43). d = per-head key dim, matching
+            # the reference where qkv_attention sees the split tensors.
+            routing = jnp.einsum("bnhd,bmhd->bhnm", q, k)
+            if presence is not None:
+                routing = routing \
+                    - (1.0 - presence[:, None, None, :]) * _MASK
+            d_head = d_k_p // H
+            routing = jax.nn.softmax(
+                routing / jnp.sqrt(jnp.asarray(d_head, routing.dtype)),
+                axis=-1)
+            o = jnp.einsum("bhnm,bmhd->bnhd", routing, v) \
+                .reshape(B, N, d_v_p)
         return TorchLinear(self.d_v, name="o_projector")(o)
 
 
@@ -67,11 +87,13 @@ class MAB(nn.Module):
     d: int
     n_heads: int
     layer_norm: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, queries, keys, presence=None):
         h = MultiHeadQKVAttention(d_k=self.d, d_v=self.d,
                                   n_heads=self.n_heads,
+                                  use_pallas=self.use_pallas,
                                   name="mqkv")(queries, keys, keys, presence)
         h = h + queries
 
@@ -91,11 +113,13 @@ class SAB(nn.Module):
     d: int
     n_heads: int
     layer_norm: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, presence=None):
         return MAB(d=self.d, n_heads=self.n_heads,
-                   layer_norm=self.layer_norm, name="mab")(x, x, presence)
+                   layer_norm=self.layer_norm, use_pallas=self.use_pallas,
+                   name="mab")(x, x, presence)
 
 
 class ISAB(nn.Module):
@@ -105,6 +129,7 @@ class ISAB(nn.Module):
     n_heads: int
     n_inducing_points: int
     layer_norm: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, presence=None):
@@ -112,10 +137,11 @@ class ISAB(nn.Module):
         m, d = self.n_inducing_points, self.d
         inducing = self.param("I", xavier_uniform_torch(m * d, d), (1, m, d))
         h = MAB(d=d, n_heads=self.n_heads, layer_norm=self.layer_norm,
+                use_pallas=self.use_pallas,
                 name="mab0")(jnp.broadcast_to(inducing, (B, m, d)), x,
                              presence)
         return MAB(d=d, n_heads=self.n_heads, layer_norm=self.layer_norm,
-                   name="mab1")(x, h)
+                   use_pallas=self.use_pallas, name="mab1")(x, h)
 
 
 class PMA(nn.Module):
@@ -125,6 +151,7 @@ class PMA(nn.Module):
     n_heads: int
     n_seeds: int
     layer_norm: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, presence=None):
@@ -132,6 +159,7 @@ class PMA(nn.Module):
         k, d = self.n_seeds, self.d
         seeds = self.param("S", xavier_uniform_torch(k * d, d), (1, k, d))
         return MAB(d=d, n_heads=self.n_heads, layer_norm=self.layer_norm,
+                   use_pallas=self.use_pallas,
                    name="mab")(jnp.broadcast_to(seeds, (B, k, d)), x,
                                presence)
 
@@ -147,6 +175,9 @@ class SetTransformer(nn.Module):
     n_heads: int
     layer_norm: bool = False
     n_inducing_points: Optional[int] = None
+    # route all attention blocks through the fused Pallas kernel
+    # (ops/pallas_attention.py); interpreter mode off-TPU
+    use_pallas_attention: bool = False
 
     @nn.compact
     def __call__(self, x, presence=None):
@@ -157,11 +188,13 @@ class SetTransformer(nn.Module):
             if self.n_inducing_points is None:
                 h = SAB(d=self.dim_hidden, n_heads=self.n_heads,
                         layer_norm=self.layer_norm,
+                        use_pallas=self.use_pallas_attention,
                         name=f"sab_{i}")(h, presence)
             else:
                 h = ISAB(d=self.dim_hidden, n_heads=self.n_heads,
                          n_inducing_points=self.n_inducing_points,
                          layer_norm=self.layer_norm,
+                         use_pallas=self.use_pallas_attention,
                          name=f"sab_{i}")(h, presence)
 
         z = TorchLinear(self.dim_out, name="fc2")(h)
@@ -176,4 +209,5 @@ class SetTransformer(nn.Module):
 
         return MultiHeadQKVAttention(
             d_k=self.dim_out, d_v=self.dim_out, n_heads=self.n_heads,
+            use_pallas=self.use_pallas_attention,
             name="multi_head_attention")(s, z, z, presence)

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 _MASK = 1e9
 
 
-def qkv_attention(queries, keys, values, presence=None):
+def qkv_attention(queries, keys, values, presence=None,
+                  use_pallas: bool = False):
     """softmax((Q K^T - (1-presence)*1e32) / sqrt(d_k)) V.
 
     Args:
@@ -31,10 +32,16 @@ def qkv_attention(queries, keys, values, presence=None):
       keys:    [B, M, d_k]
       values:  [B, M, d_v]
       presence: optional [B, M] soft mask in [0, 1].
+      use_pallas: route through the fused Pallas kernel
+        (ops.pallas_attention; interpreter mode off-TPU).
 
     Returns:
       [B, N, d_v]
     """
+    if use_pallas:
+        from scae_tpu.ops.pallas_attention import pallas_qkv_attention
+
+        return pallas_qkv_attention(queries, keys, values, presence)
     d_k = queries.shape[-1]
     routing = jnp.einsum("bnd,bmd->bnm", queries, keys)
     if presence is not None:

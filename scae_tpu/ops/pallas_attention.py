@@ -4,15 +4,17 @@ One kernel computes softmax((Q K^T - (1-presence)*MASK)/sqrt(d)) V for a
 block of batch rows, keeping routing logits entirely in VMEM — the XLA
 path materializes the (B, N, M) routing tensor in HBM twice (logits +
 softmax). At SCAE's set sizes (M, N <= 64) the tensors are small, so this
-is an *opt-in* (`qkv_attention(..., use_pallas=True)`); it exists as the
-blockwise-capable building block the survey plan calls for (SURVEY.md §2.3
-"sequence parallel" row: the interface takes the same presence mask as
-``qkv_attention``), sized so each (batch-block, N, M, d) tile fits VMEM.
+is an *opt-in*: ``qkv_attention(..., use_pallas=True)`` routes here, and
+``SetTransformer(use_pallas_attention=True)`` (factory knob
+``set_transformer_params.use_pallas_attention``) enables it model-wide.
+It exists as the blockwise-capable building block the survey plan calls
+for (SURVEY.md §2.3 "sequence parallel" row: the interface takes the same
+presence mask as ``qkv_attention``), sized so each (batch-block, N, M, d)
+tile fits VMEM.
 
-Environment note: the axon-tunneled TPU in this container currently stalls
-compiling any pallas_call (see BASELINE.md); numerics are validated in
-Pallas interpreter mode on CPU (tests/test_pallas_attention.py) and the
-kernel is kept off by default until the platform supports it.
+On non-TPU backends the kernel runs in Pallas interpreter mode
+automatically (tests/test_pallas_attention.py validates numerics there);
+on the TPU it compiles natively (round-2 probe, tools/pallas_probe.py).
 """
 
 import functools
@@ -58,13 +60,16 @@ def _attention_kernel(q_ref, k_ref, v_ref, presence_ref, o_ref, *,
 
 
 def pallas_qkv_attention(queries, keys, values, presence=None,
-                         interpret: bool = False):
+                         interpret=None):
     """Drop-in fused version of ops.attention.qkv_attention.
 
     queries: (B, N, dk); keys: (B, M, dk); values: (B, M, dv);
     presence: optional (B, M). Mask-before-scale order matches the
-    reference (set_transformer.py:40-43).
+    reference (set_transformer.py:40-43). ``interpret=None`` auto-selects
+    interpreter mode on non-TPU backends.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     B, N, dk = queries.shape
     M, dv = values.shape[1:]
     scale = 1.0 / (dk ** 0.5)

@@ -1,5 +1,5 @@
-"""Pallas fused masked attention vs the jnp reference (interpreter mode —
-the axon tunnel currently cannot compile pallas_call, see BASELINE.md)."""
+"""Pallas fused masked attention vs the jnp reference (interpreter mode on
+CPU; the kernel compiles natively on TPU — round-2 probe)."""
 
 import jax
 import jax.numpy as jnp
