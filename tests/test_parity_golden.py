@@ -192,6 +192,7 @@ def scae_golden():
     return g, model, res
 
 
+@pytest.mark.slow
 def test_scae_forward_golden(scae_golden):
     g, model, res = scae_golden
     close(res.part_pose, g["part_pose"], atol=1e-5)
@@ -218,6 +219,7 @@ def test_scae_forward_golden(scae_golden):
     close(td_ll, g["top_down_ll"], rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_scae_loss_golden(scae_golden):
     g, model, res = scae_golden
     loss, log = model.loss(res, jnp.asarray(g["img"]),
@@ -230,6 +232,83 @@ def test_scae_loss_golden(scae_golden):
             close(log[name], v, rtol=2e-3, atol=1e-4)
     close(model.calculate_accuracy(res, jnp.asarray(g["label"])),
           g["accuracy"])
+
+
+@pytest.mark.slow
+def test_train_trajectory_golden():
+    """Optimization-trajectory parity: N jitted train steps (RMSprop with
+    the harness' eps=1e-2/B^2 rule, noise off, identical init via
+    torch_port) must track the torch reference's per-step losses.
+    Fixture: tools/gen_golden.py::gen_train_trajectory (reference
+    base_experiment.py:109-126 + :47)."""
+    import optax
+
+    from scae_tpu.factory import make_scae
+    from scae_tpu.optim import make_optimizer
+
+    data = dict(np.load(os.path.join(GOLDEN, "train_trajectory.npz")))
+    init_sd = {k[8:]: v for k, v in data.items()
+               if k.startswith("init_sd/")}
+    imgs = jnp.asarray(data["imgs"])           # (N, B, 1, 28, 28)
+    labels = jnp.asarray(data["labels"])       # (N, B)
+    n_steps, B = labels.shape
+
+    model = make_scae(dict(
+        image_shape=(1, 28, 28), n_classes=10,
+        n_part_caps=8, n_obj_caps=6,
+        pcae_cnn_encoder_params=dict(out_channels=[32] * 4),
+        pcae_encoder_params=dict(noise_scale=0.0),
+        ocae_decoder_capsule_params=dict(noise_type=None, noise_scale=0.0),
+        scae_params=dict(reconstruct_alternatives=False,
+                         compat_posterior_cls_bug=True,
+                         compat_posterior_gate_bug=True),
+    ))
+    params = torch_port.port_scae(init_sd, n_obj_caps=6)
+    tx = make_optimizer("rmsprop", 1e-4, batch_size=B, momentum=0.9)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, img, label, rng):
+        def lf(p):
+            res = model.apply({"params": p}, img, deterministic=False,
+                              rngs={"noise": rng})
+            loss, _ = model.loss(res, img, label)
+            return loss
+
+        loss, grads = jax.value_and_grad(lf)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    rng = jax.random.PRNGKey(0)  # noise scales are all zero -> inert
+    for t in range(n_steps):
+        params, opt_state, loss = step(params, opt_state, imgs[t],
+                                       labels[t], jax.random.fold_in(rng, t))
+        losses.append(float(loss))
+
+    # per-step losses transitively verify grads + optimizer updates: the
+    # loss at step t depends on every preceding gradient/update
+    close(np.asarray(losses), data["losses"], rtol=2e-3)
+
+    # and the accumulated parameter movement matches the reference's
+    final_sd = {k[9:]: v for k, v in data.items()
+                if k.startswith("final_sd/")}
+    final_ref = torch_port.port_scae(final_sd, n_obj_caps=6)
+    init_ref = torch_port.port_scae(init_sd, n_obj_caps=6)
+    flat_ours = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+    flat_final = dict(jax.tree_util.tree_flatten_with_path(final_ref)[0])
+    flat_init = dict(jax.tree_util.tree_flatten_with_path(init_ref)[0])
+    checked = 0
+    for key, ours in flat_ours.items():
+        want_delta = np.asarray(flat_final[key]) - np.asarray(flat_init[key])
+        got_delta = np.asarray(ours) - np.asarray(flat_init[key])
+        scale = np.abs(want_delta).max()
+        if scale < 1e-7:      # params the reference never moves (e.g. the
+            continue          # posterior classifier under the cls bug)
+        np.testing.assert_allclose(got_delta, want_delta, atol=0.05 * scale,
+                                   rtol=0.05)
+        checked += 1
+    assert checked > 10, f"only {checked} moving params compared"
 
 
 def test_radam_trajectory_golden():

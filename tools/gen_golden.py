@@ -342,6 +342,105 @@ def gen_rmsprop():
          traj=np.stack(traj))
 
 
+def _patch_geometric_transform_for_autograd():
+    """The reference's geometric_transform mutates a torch.split view
+    in-place (theta *= 2*pi, cv_ops.py:45) — legal under its pinned torch
+    1.4, but a RuntimeError under modern autograd when gradients flow.
+    Install a math-identical out-of-place version so the reference can be
+    *trained* here to produce trajectory fixtures."""
+    import math as _math
+
+    import torch_scae.cv_ops as cv_ops
+    import torch_scae.part_encoder as pe
+    import torch_scae.object_decoder as od
+
+    def geometric_transform(pose_tensor, similarity=False, nonlinear=True,
+                            as_matrix=False):
+        (scale_x, scale_y, theta, shear,
+         trans_x, trans_y) = torch.split(pose_tensor, 1, dim=-1)
+        if nonlinear:
+            scale_x, scale_y = (torch.sigmoid(t) + 1e-2
+                                for t in (scale_x, scale_y))
+            trans_x, trans_y, shear = (torch.tanh(t * 5.)
+                                       for t in (trans_x, trans_y, shear))
+            theta = theta * (2. * _math.pi)   # out-of-place (the only change)
+        else:
+            scale_x, scale_y = (abs(t) + 1e-2
+                                for t in (scale_x, scale_y))
+        c, s = torch.cos(theta), torch.sin(theta)
+        if similarity:
+            scale = scale_x
+            pose = [scale * c, -scale * s, trans_x,
+                    scale * s, scale * c, trans_y]
+        else:
+            pose = [scale_x * c + shear * scale_y * s,
+                    -scale_x * s + shear * scale_y * c,
+                    trans_x,
+                    scale_y * s,
+                    scale_y * c,
+                    trans_y]
+        pose = torch.cat(pose, -1)
+        if as_matrix:
+            shape = list(pose.shape[:-1]) + [2, 3]
+            pose = pose.view(*shape)
+            zeros = torch.zeros_like(pose[..., :1, 0])
+            last = torch.stack([zeros, zeros, zeros + 1], -1)
+            pose = torch.cat([pose, last], -2)
+        return pose
+
+    cv_ops.geometric_transform = geometric_transform
+    pe.cv_ops.geometric_transform = geometric_transform
+    od.cv_ops.geometric_transform = geometric_transform
+
+
+def gen_train_trajectory():
+    """N optimization steps of the reference under the harness' RMSprop
+    settings (base_experiment.py:47-56), noise off — the optimization-
+    trajectory parity fixture. Records per-step losses, the input batches,
+    the init state dict and the final state dict."""
+    from torch_scae.factory import make_scae
+    _patch_geometric_transform_for_autograd()
+    torch.manual_seed(59)
+    np.random.seed(59)
+    B, n_steps = 8, 6
+    model_params = dict(
+        image_shape=(1, 28, 28), n_classes=10,
+        n_part_caps=8, n_obj_caps=6,
+        pcae_cnn_encoder_params=dict(out_channels=[32] * 4),
+        pcae_encoder_params=dict(noise_scale=0.0),
+        ocae_decoder_capsule_params=dict(noise_type=None, noise_scale=0.0),
+        scae_params=dict(reconstruct_alternatives=False),
+    )
+    scae = make_scae(model_params)
+    scae.train()
+    # deep-copy: .numpy() views alias the live params, which the optimizer
+    # then mutates in place — the snapshot must be detached storage
+    init_sd = {k: v.copy() for k, v in flat_sd(scae).items()}
+
+    g = torch.Generator().manual_seed(60)
+    imgs = torch.rand(n_steps, B, 1, 28, 28, generator=g)
+    labels = torch.randint(0, 10, (n_steps, B), generator=g)
+
+    opt = torch.optim.RMSprop(scae.parameters(), lr=1e-4, alpha=0.99,
+                              momentum=0.9, eps=1e-2 / B ** 2)
+    losses, rec_lls, caps_lls = [], [], []
+    for t in range(n_steps):
+        opt.zero_grad()
+        res = scae(imgs[t])
+        loss, log = scae.loss(res, imgs[t], labels[t])
+        loss.backward()
+        opt.step()
+        losses.append(float(loss.detach()))
+        rec_lls.append(float(log["rec_ll_loss"].detach()))
+        caps_lls.append(float(log["log_prob_loss"].detach()))
+    save("train_trajectory",
+         imgs=imgs.numpy(), labels=labels.numpy(),
+         losses=np.asarray(losses), rec_ll_losses=np.asarray(rec_lls),
+         log_prob_losses=np.asarray(caps_lls),
+         **{f"init_sd/{k}": v for k, v in init_sd.items()},
+         **{f"final_sd/{k}": v for k, v in flat_sd(scae).items()})
+
+
 if __name__ == "__main__":
     gen_geometric_transform()
     gen_grid_sample()
@@ -355,4 +454,5 @@ if __name__ == "__main__":
     gen_scae()
     gen_radam()
     gen_rmsprop()
+    gen_train_trajectory()
     print("done")
