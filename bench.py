@@ -1,17 +1,25 @@
-"""Benchmark: SCAE training throughput (images/sec/chip) on the flagship
-MNIST config (40x40, M=40 part caps, O=32 object caps, batch 128).
+"""Benchmark: SCAE training throughput (images/sec/chip) + MFU.
 
-Measures the real training path: device-resident dataset, on-device
-pad+random-translate augmentation, fused fwd + 8-term loss + grad +
-optimizer, K steps per dispatch via lax.scan (scae_tpu.parallel).
+Measures the real training path per config: device-resident dataset,
+on-device pad+random-translate augmentation, fused fwd + 8-term loss +
+grad + optimizer, K steps per dispatch via lax.scan (scae_tpu.parallel).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is against the driver-supplied north star of 20_000 MNIST
-train images/sec/chip (BASELINE.json; the reference publishes no
-throughput numbers - BASELINE.md).
+Prints ONE JSON line. The primary metric is the flagship MNIST 40x40
+config (B=128, M=40, O=32) against the driver north star of 20_000
+images/sec/chip (BASELINE.json; the reference publishes no throughput
+numbers - BASELINE.md). Extra keys: "mfu" (model FLOPs utilization from
+XLA's compiled cost analysis against the chip's bf16 peak) and "configs"
+(staged workloads from BASELINE.json: mnist28 / svhn / cifar10), measured
+while the total run stays inside a time budget.
+
+Env knobs:
+  SCAE_BENCH_IMPL=xla|pallas   fused decoder-ll implementation (default
+                               from tools/ab_pallas_ll.py A/B results)
+  SCAE_BENCH_FLAGSHIP_ONLY=1   skip the staged configs
 """
 
 import json
+import os
 import time
 
 import jax
@@ -24,9 +32,29 @@ SCAN_STEPS = 100       # steps fused per dispatch (amortizes link latency)
 REPEATS = 6            # timed dispatches; best-of is reported (the
                        # tunneled chip shows large run-to-run latency
                        # variance from the shared link)
+TIME_BUDGET_S = 420    # stop starting new configs after this much wall
+
+# v5e peak: 197 TFLOP/s bf16 / 98.5 f32 (public spec). MFU is reported
+# against bf16 peak — the honest number for a mixed bf16/f32 step.
+PEAK_FLOPS = 197e12
+
+CONFIGS = {
+    # name -> (model kwargs, image size fed to the pipeline, canvas)
+    "mnist28": (dict(image_shape=(1, 28, 28), n_classes=10,
+                     n_part_caps=24, n_obj_caps=24), 28, 28),
+    "svhn": (dict(image_shape=(3, 32, 32), n_classes=10,
+                  n_part_caps=24, n_obj_caps=32,
+                  pcae_template_generator_params=dict(
+                      template_size=(14, 14))), 32, 32),
+    "cifar10": (dict(image_shape=(3, 32, 32), n_classes=10,
+                     n_part_caps=32, n_obj_caps=64,
+                     pcae_template_generator_params=dict(
+                         template_size=(14, 14))), 32, 32),
+}
 
 
-def main():
+def _bench_config(model_kwargs, data_size, canvas, scan_steps, repeats,
+                  fused_impl):
     from scae_tpu.factory import make_scae
     from scae_tpu.optim import make_optimizer
     from scae_tpu.parallel.train_step import (
@@ -35,38 +63,56 @@ def main():
     )
     from scae_tpu.train.loop import make_augment_fn
 
-    model = make_scae(dict(
-        image_shape=(1, 40, 40),
-        n_classes=10,
-        n_part_caps=40,
-        n_obj_caps=32,
-        pcae_cnn_encoder_params=dict(compute_dtype="bfloat16"),
-        pcae_decoder_params=dict(fused_tap_dtype="bfloat16"),
-        scae_params=dict(reconstruct_alternatives=False),
-    ))
+    mk = dict(model_kwargs)
+    mk.setdefault("pcae_cnn_encoder_params",
+                  dict(compute_dtype="bfloat16"))
+    pd = dict(mk.get("pcae_decoder_params") or {})
+    pd.setdefault("fused_tap_dtype", "bfloat16")
+    pd.setdefault("fused_impl", fused_impl)
+    mk["pcae_decoder_params"] = pd
+    sp = dict(mk.get("scae_params") or {})
+    sp.setdefault("reconstruct_alternatives", False)
+    mk["scae_params"] = sp
+
+    model = make_scae(mk)
     tx = make_optimizer("rmsprop", 3e-5, batch_size=BATCH,
                         lr_decay_rate=0.997, decay_steps=429)
 
+    c, h, _ = mk["image_shape"]
     rng = np.random.RandomState(0)
     n_data = 4096
+    raw_shape = (n_data, data_size, data_size) if c == 1 else \
+        (n_data, data_size, data_size, c)
     data = {
-        "image": jnp.asarray(
-            rng.randint(0, 256, (n_data, 28, 28)), jnp.uint8),
+        "image": jnp.asarray(rng.randint(0, 256, raw_shape), jnp.uint8),
         "label": jnp.asarray(rng.randint(0, 10, n_data), jnp.int32),
     }
     example = {
-        "image": jnp.zeros((BATCH, 1, 40, 40), jnp.float32),
+        "image": jnp.zeros((BATCH, c, h, h), jnp.float32),
         "label": jnp.zeros((BATCH,), jnp.int32),
     }
     state = create_train_state(model, tx, example, jax.random.PRNGKey(0))
 
-    augment = make_augment_fn(canvas=40, max_shift=6)
+    augment = make_augment_fn(canvas=canvas,
+                              max_shift=6 if canvas > data_size else 0)
     scan_fn = make_train_scan(model, tx, augment_fn=augment)
 
     def chunk_idxs(seed):
         r = np.random.RandomState(seed)
         return jnp.asarray(
-            r.randint(0, n_data, (SCAN_STEPS, BATCH)).astype(np.int32))
+            r.randint(0, n_data, (scan_steps, BATCH)).astype(np.int32))
+
+    # analytic FLOPs per scan dispatch from XLA's own cost model
+    # (make_train_scan returns a jitted callable -> .lower() works)
+    flops_per_dispatch = None
+    try:
+        ca = scan_fn.lower(state, data, chunk_idxs(0)).compile() \
+            .cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops_per_dispatch = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
 
     # warmup / compile. NOTE: sync via a host value read — on the
     # experimental axon platform block_until_ready can return before the
@@ -75,22 +121,60 @@ def main():
     float(metrics["loss"][-1])
 
     best = float("inf")
-    for c in range(REPEATS):
-        idxs = chunk_idxs(100 + c)
+    for i in range(repeats):
+        idxs = chunk_idxs(100 + i)
         float(jnp.sum(idxs))
         t0 = time.perf_counter()
         state, metrics = scan_fn(state, data, idxs)
         float(metrics["loss"][-1])
-        dt = time.perf_counter() - t0
-        best = min(best, dt)
+        best = min(best, time.perf_counter() - t0)
 
-    images_per_sec = SCAN_STEPS * BATCH / best
-    print(json.dumps({
+    images_per_sec = scan_steps * BATCH / best
+    mfu = None
+    if flops_per_dispatch:
+        mfu = (flops_per_dispatch / best) / PEAK_FLOPS
+    return images_per_sec, mfu
+
+
+def main():
+    t_start = time.time()
+    fused_impl = os.environ.get("SCAE_BENCH_IMPL", "xla")
+
+    flagship = dict(
+        image_shape=(1, 40, 40), n_classes=10,
+        n_part_caps=40, n_obj_caps=32,
+    )
+    ips, mfu = _bench_config(flagship, 28, 40, SCAN_STEPS, REPEATS,
+                             fused_impl)
+
+    result = {
         "metric": "mnist_scae_train_images_per_sec_per_chip",
-        "value": round(images_per_sec, 1),
+        "value": round(ips, 1),
         "unit": "images/sec",
-        "vs_baseline": round(images_per_sec / NORTH_STAR, 4),
-    }))
+        "vs_baseline": round(ips / NORTH_STAR, 4),
+        "fused_impl": fused_impl,
+    }
+    if mfu is not None:
+        result["mfu"] = round(mfu, 4)
+
+    if not os.environ.get("SCAE_BENCH_FLAGSHIP_ONLY"):
+        extras = {}
+        for name, (mk, data_size, canvas) in CONFIGS.items():
+            if time.time() - t_start > TIME_BUDGET_S:
+                extras[name] = "skipped:time_budget"
+                continue
+            try:
+                ips_c, mfu_c = _bench_config(mk, data_size, canvas,
+                                             scan_steps=50, repeats=3,
+                                             fused_impl=fused_impl)
+                extras[name] = {"images_per_sec": round(ips_c, 1)}
+                if mfu_c is not None:
+                    extras[name]["mfu"] = round(mfu_c, 4)
+            except Exception as e:  # pragma: no cover - defensive
+                extras[name] = f"error:{type(e).__name__}"
+        result["configs"] = extras
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
