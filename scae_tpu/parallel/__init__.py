@@ -1,6 +1,7 @@
 from scae_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     make_mesh,
+    maybe_initialize_distributed,
     param_shardings,
     replicate_sharding,
 )

@@ -19,6 +19,7 @@ No custom transport: collectives are XLA's over ICI (intra-slice) / DCN
 (multi-slice via jax.distributed).
 """
 
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -27,6 +28,45 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+
+_distributed_initialized = False
+
+
+def maybe_initialize_distributed() -> bool:
+    """Multi-host entry: call ``jax.distributed.initialize()`` when a
+    multi-process launch is detected, before any backend use.
+
+    Detection (standard JAX multi-host conventions):
+      * JAX_COORDINATOR_ADDRESS (+ optional JAX_NUM_PROCESSES /
+        JAX_PROCESS_ID) — e.g. a manual multi-slice DCN launch;
+      * SCAE_TPU_MULTIHOST=1 — opt into ``initialize()``'s own cloud-TPU
+        pod auto-discovery. (Auto-detecting pod env vars is NOT done:
+        single-chip containers can carry pod-style vars from the runtime,
+        and a spurious initialize() aborts the process.)
+
+    After this, ``jax.devices()`` spans every process and ``make_mesh``
+    builds the global (data, model) mesh; XLA routes collectives over ICI
+    intra-slice and DCN across slices — no transport code here (the
+    reference's analog was Lightning pass-through, SURVEY.md §2.3).
+
+    Returns True if initialize() was called (idempotent, safe to re-enter).
+    """
+    global _distributed_initialized
+    if _distributed_initialized:
+        return True
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr and not os.environ.get("SCAE_TPU_MULTIHOST"):
+        return False
+    kwargs = {}
+    if addr:
+        kwargs["coordinator_address"] = addr
+        if "JAX_NUM_PROCESSES" in os.environ:
+            kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+        if "JAX_PROCESS_ID" in os.environ:
+            kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
+    _distributed_initialized = True
+    return True
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,

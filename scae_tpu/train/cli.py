@@ -39,6 +39,16 @@ def main(argv=None):
     overrides = [a.lstrip("+") for a in argv if "=" in a]
     cfg = load_config("config", overrides=overrides)
 
+    # multi-host entry: must run before the first backend use so that
+    # jax.devices() spans all processes (SURVEY.md §2.3 comm row)
+    from scae_tpu.parallel.mesh import maybe_initialize_distributed
+
+    if maybe_initialize_distributed():
+        import jax
+
+        print(f"[scae_tpu] distributed: process {jax.process_index()}"
+              f"/{jax.process_count()}, {jax.device_count()} devices")
+
     _enable_compilation_cache()
     if (cfg.get("trainer") or {}).get("debug_nans"):
         # the analog of the reference's sanitizer story (SURVEY.md §5):
