@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from scae_tpu.config import load_config
 from scae_tpu.factory import make_scae, prepare_model_params
@@ -24,6 +25,7 @@ def tiny_color_model():
     ))
 
 
+@pytest.mark.slow
 def test_color_model_forward_loss_grads():
     model = tiny_color_model()
     img = jax.random.uniform(jax.random.PRNGKey(0), (2, 3, 24, 24))

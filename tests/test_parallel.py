@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from scae_tpu.factory import make_scae
 from scae_tpu.optim import make_optimizer
 from scae_tpu.parallel.mesh import (

@@ -6,6 +6,8 @@ import numpy as np
 import optax
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from scae_tpu.optim import make_optimizer
 from scae_tpu.parallel.train_step import create_train_state
 from scae_tpu.train.data import random_translate, synthetic_digits
