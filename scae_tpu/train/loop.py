@@ -150,7 +150,9 @@ class Trainer:
 
     def evaluate(self, params, dataset, seed: int = 0,
                  max_batches: Optional[int] = None):
-        sums, count = {}, 0
+        # metrics stay on device until the epoch ends: one host sync per
+        # eval pass instead of one per batch (slow over a tunneled link)
+        sums, count = None, 0
         first_batch = None
         for i, batch in enumerate(dataset.batches(self.batch_size,
                                                   seed=seed,
@@ -162,11 +164,12 @@ class Trainer:
             if first_batch is None:
                 first_batch = batch
             metrics = self.eval_step(params, batch)
-            metrics = jax.device_get(metrics)
-            for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
+            sums = metrics if sums is None else jax.tree.map(
+                jnp.add, sums, metrics)
             count += 1
-        means = {f"val_{k}": v / max(count, 1) for k, v in sums.items()}
+        sums = jax.device_get(sums) if sums is not None else {}
+        means = {f"val_{k}": float(v) / max(count, 1)
+                 for k, v in sums.items()}
         return means, first_batch
 
     def write_viz(self, step, params, batch, max_n: int = 8):
@@ -201,6 +204,9 @@ class Trainer:
         assert self.ckpt.latest_step is not None, "no checkpoint to test"
         step = self.ckpt.best_step or self.ckpt.latest_step
         state = self.ckpt.restore(state, step=step)
+        from scae_tpu.parallel.mesh import replicate_sharding
+
+        state = jax.device_put(state, replicate_sharding(self.mesh))
         metrics, _ = self.evaluate(state.params, test_ds)
         metrics = {k.replace("val_", "test_"): v for k, v in metrics.items()}
         self.writer.scalars(int(state.step), metrics)
@@ -233,6 +239,12 @@ class Trainer:
         state = self.init_state(seed)
         if resume and self.ckpt.latest_step is not None:
             state = self.ckpt.restore(state)
+            # restored arrays are committed to a single device; re-place
+            # them replicated on the mesh or the sharded train step sees
+            # incompatible devices (caught by tests/test_resume.py)
+            from scae_tpu.parallel.mesh import replicate_sharding
+
+            state = jax.device_put(state, replicate_sharding(self.mesh))
             print(f"[scae_tpu] resumed from step {int(state.step)}")
 
         # dataset lives on device; per chunk only a (K, B) index array moves
@@ -244,15 +256,21 @@ class Trainer:
         t0 = time.time()
         global_step = int(state.step)
         stop = False
-        for epoch in range(max_epochs):
+        # epoch and intra-epoch position derive from the restored step, so
+        # a resumed run consumes exactly the indices a never-interrupted
+        # run would (deterministic resume; perm seeded by absolute epoch)
+        start_epoch = global_step // steps_per_epoch
+        for epoch in range(start_epoch, max_epochs):
             perm = np.random.RandomState(seed + epoch).permutation(
                 len(train_ds))
+            i = global_step - epoch * steps_per_epoch  # intra-epoch offset
             n_steps = len(train_ds) // self.batch_size
             if max_steps is not None:
-                n_steps = min(n_steps, max_steps - global_step)
+                n_steps = min(n_steps, i + max(max_steps - global_step, 0))
+                if global_step >= max_steps:
+                    stop = True
             if n_steps <= 0:
                 stop = True
-            i = 0
             while i < n_steps:
                 self.profiler.maybe_start(global_step)
                 k = min(log_every, n_steps - i)
@@ -287,6 +305,9 @@ class Trainer:
                 self.ckpt.save(global_step, jax.device_get(state),
                                metrics={"loss":
                                         val_metrics.get("val_loss", 0.0)})
+                # keep images_per_sec clean: don't charge eval/ckpt wall
+                # time to the next train chunk
+                t0 = time.time()
             if stop:
                 break
 

@@ -1,0 +1,71 @@
+"""Deterministic resume: an interrupted+resumed run must consume exactly
+the data order of a never-interrupted run and land on the same state.
+
+Epoch and intra-epoch position derive from the restored step
+(train/loop.py), and the per-step noise/augment RNG folds the absolute
+step, so the two runs are step-for-step identical.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+_OVERRIDES = [
+    "data_loader.batch_size=16",
+    "trainer.log_every_steps=2",
+    "trainer.max_eval_batches=1",
+    "trainer.augment.canvas=24",
+    "trainer.augment.max_shift=2",
+    "model.image_shape=[1,24,24]",
+    "model.n_part_caps=8",
+    "model.n_obj_caps=4",
+    "model.pcae_cnn_encoder_params.out_channels=[16,16,16,16]",
+    "model.pcae_template_generator_params.template_size=[6,6]",
+    "model.ocae_encoder_set_transformer_params.dim_hidden=8",
+    "model.ocae_encoder_set_transformer_params.dim_out=16",
+    "model.ocae_decoder_capsule_params.dim_caps=8",
+    "model.ocae_decoder_capsule_params.hidden_sizes=[16]",
+]
+
+
+def _run(tmp_path, tag, max_steps, resume=False):
+    from scae_tpu.config import load_config
+    from scae_tpu.train.loop import Trainer
+    import scae_tpu.train.data as data_lib
+
+    cfg = load_config("config", overrides=_OVERRIDES + [
+        f"trainer.checkpoint_dir={tmp_path}/{tag}/ckpt",
+        f"trainer.log_dir={tmp_path}/{tag}/logs",
+    ])
+    orig = data_lib.load_datasets
+
+    def tiny_datasets(**kw):
+        kw.update(val_size=32, synthetic_train=128, synthetic_test=32)
+        return orig(**kw)
+
+    data_lib.load_datasets = tiny_datasets
+    try:
+        trainer = Trainer(cfg)
+        state = trainer.run(max_epochs=4, max_steps=max_steps,
+                            resume=resume)
+    finally:
+        data_lib.load_datasets = orig
+    return state
+
+
+def test_resume_matches_uninterrupted_run(tmp_path):
+    # continuous: 0 -> 6 steps (128 examples / bs16 = 8 steps/epoch, so
+    # the interruption at 3 lands mid-epoch — the hard case)
+    state_cont = _run(tmp_path, "cont", max_steps=6)
+
+    # interrupted at 3 (checkpoint saved on stop), resumed to 6
+    _run(tmp_path, "split", max_steps=3)
+    state_res = _run(tmp_path, "split", max_steps=6, resume=True)
+
+    assert int(state_res.step) == int(state_cont.step) == 6
+    flat_c = jax.tree_util.tree_leaves(jax.device_get(state_cont.params))
+    flat_r = jax.tree_util.tree_leaves(jax.device_get(state_res.params))
+    for a, b in zip(flat_c, flat_r):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
