@@ -106,21 +106,25 @@ def synthetic_digits(n: int, seed: int = 0, size: int = 28,
         cx = (0.25 + 0.5 * cx0) * size + rng.randn(n) * 1.0
         cy = (0.25 + 0.5 * cy0) * size + rng.randn(n) * 1.0
         ang = ang0 * np.pi + rng.randn(n) * 0.15
-        ln = (0.2 + 0.4 * ln0) * size
+        ln = (0.3 + 0.45 * ln0) * size
         curve = cv0[:, None] * 8.0 * (t[None] ** 2 - 0.25 ** 2)  # (n, P)
         px = cx[:, None] + ln[:, None] * t[None] * np.cos(ang)[:, None] \
             - curve * np.sin(ang)[:, None]             # (n, P)
         py = cy[:, None] + ln[:, None] * t[None] * np.sin(ang)[:, None] \
             + curve * np.cos(ang)[:, None]
-        # separable gaussian splat: exp(-(dx^2+dy^2)/1.8)
-        #   = exp(-dx^2/1.8) * exp(-dy^2/1.8), chunked over samples
+        # separable gaussian splat: exp(-(dx^2+dy^2)/s2)
+        #   = exp(-dx^2/s2) * exp(-dy^2/s2), chunked over samples.
+        # s2=5.0 gives MNIST-like ~3px stroke width — thin (1-2px) strokes
+        # put SCAE in the explain-everything-as-background local optimum
+        # (observed: rec_ll plateaus at the background value).
+        s2 = 5.0
         chunk = 512
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
             gx = np.exp(-(xx[None, None] - px[lo:hi, :, None]) ** 2
-                        / 1.8)                         # (c, P, W)
+                        / s2)                          # (c, P, W)
             gy = np.exp(-(yy[None, None] - py[lo:hi, :, None]) ** 2
-                        / 1.8)                         # (c, P, H)
+                        / s2)                          # (c, P, H)
             # sum_p gy[c,p,h] * gx[c,p,w] -> (c, H, W)
             contrib = np.einsum("cph,cpw->chw", gy, gx)
             acc[lo:hi] += contrib * active[lo:hi, None, None]
