@@ -102,15 +102,20 @@ def _bench_config(model_kwargs, data_size, canvas, scan_steps, repeats,
         return jnp.asarray(
             r.randint(0, n_data, (scan_steps, BATCH)).astype(np.int32))
 
-    # analytic FLOPs per scan dispatch from XLA's own cost model
-    # (make_train_scan returns a jitted callable -> .lower() works)
-    flops_per_dispatch = None
+    # analytic FLOPs per TRAIN STEP from XLA's own cost model. The scan
+    # program reports its while-body flops only once (not x trip count),
+    # so lower a single fused step instead.
+    flops_per_step = None
     try:
-        ca = scan_fn.lower(state, data, chunk_idxs(0)).compile() \
-            .cost_analysis()
+        from scae_tpu.parallel.train_step import make_fused_train_step
+
+        single = jax.jit(make_fused_train_step(model, tx,
+                                               augment_fn=augment))
+        ca = single.lower(state, data,
+                          chunk_idxs(0)[0]).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        flops_per_dispatch = float(ca.get("flops", 0.0)) or None
+        flops_per_step = float(ca.get("flops", 0.0)) or None
     except Exception:
         pass
 
@@ -131,8 +136,8 @@ def _bench_config(model_kwargs, data_size, canvas, scan_steps, repeats,
 
     images_per_sec = scan_steps * BATCH / best
     mfu = None
-    if flops_per_dispatch:
-        mfu = (flops_per_dispatch / best) / PEAK_FLOPS
+    if flops_per_step:
+        mfu = (flops_per_step * scan_steps / best) / PEAK_FLOPS
     return images_per_sec, mfu
 
 
