@@ -1,0 +1,514 @@
+"""Gather-based (exact 4-tap) Pallas fused decoder log-likelihood.
+
+Third-generation kernel. The dense kernels (ops/pallas_decoder_ll.py v4
+and the XLA path) warp by looping over all Ht template rows per pixel —
+~300 vector ops per (capsule, pixel) plane — even though bilinear
+resampling touches exactly 4 template texels per (m, p). The banded/
+windowed kernel (ops/pallas_decoder_ll_banded.py) cut the row loop
+~2x but paid per-(band, group) iteration overhead that ate the win
+(tools/probe_banded.py).
+
+This kernel computes the 4 taps DIRECTLY with Mosaic's per-lane dynamic
+gather (`tpu.dynamic_gather` via jnp.take_along_axis, verified exact on
+v5e): each capsule's (Ht*Wt <= 128)-texel template lives in one
+128-lane vector register per channel, and the warp is
+
+    V[m, p] = sum_{a,b in {0,1}}  wy_a * wx_b * T[m, tex(h0+a, w0+b)]
+
+with h0 = floor(iy), w0 = floor(ix) and fractional weights — 4 gathers
++ ~10 FMAs per (m, p) plane per channel, no row loop, no banding, no
+capsule sorting. Out-of-template taps get zero weight (masked), which
+reproduces grid_sample's zero padding exactly; the formulation is
+EXACT f32 bilinear (better precision than the bf16-tap XLA path).
+
+The backward reuses the same gathered texels for the coordinate
+gradients (dV/dix = sum_a wy_a * (T~[a,1] - T~[a,0]), etc.); only the
+template gradient needs the tap-weight transpose, which runs as the
+per-(row, group-of-8) masked MXU contraction inherited from v4 (MXU is
+otherwise idle; see _bwd_kernel).
+
+Math and argument contract are identical to ops/decoder_ll.py (which
+mirrors the reference TemplateBasedImageDecoder + GaussianMixture
+.log_prob pipeline, reference torch_scae/part_decoder.py:152-243,
+distributions.py:41-48). Requires Ht*Wt <= 128 (one lane register per
+template channel); larger templates fall back to other impls at the
+call site.
+"""
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from scae_tpu.ops.warp import _base_grid
+
+_LOG_SQRT_2PI = 0.5 * math.log(2.0 * math.pi)
+_PRES_EPS = 1e-16  # log_safe floor (reference math_ops.py:18-22)
+
+GROUP = 8           # capsules per masked-matmul block in the gT loop
+TBL = 128           # texel-table lane width (one f32 vector register)
+MXU_DTYPE = jnp.bfloat16
+_MXU_PREC = jax.lax.Precision.DEFAULT
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def supports(template_size) -> bool:
+    return template_size[0] * template_size[1] <= TBL
+
+
+def _tap(coord, k):
+    return jnp.maximum(0.0, 1.0 - jnp.abs(coord - k))
+
+
+def _log_safe(x):
+    is_small = x < _PRES_EPS
+    safe = jnp.where(is_small, jnp.ones_like(x), x)
+    return jnp.where(is_small, jnp.full_like(x, -1e8), jnp.log(safe))
+
+
+def _coords_mp(pose, gx, gy, Ht, Wt):
+    sx = pose[:, 0:1] * gx + pose[:, 1:2] * gy + pose[:, 2:3]
+    sy = pose[:, 3:4] * gx + pose[:, 4:5] * gy + pose[:, 5:6]
+    ix = ((sx + 1.0) * Wt - 1.0) * 0.5
+    iy = ((sy + 1.0) * Ht - 1.0) * 0.5
+    return ix, iy
+
+
+def _gather_tab(tab, idx, P):
+    """Chunked per-lane gather: tab (M, TBL), idx (M, P) -> (M, P).
+
+    Mosaic's dynamic_gather needs the source to be a single vreg along
+    the gather (lane) dim, so gather in 128-lane chunks of the pixel
+    axis (tail chunk padded).
+    """
+    M = tab.shape[0]
+    outs = []
+    for j in range(0, P, TBL):
+        c = min(TBL, P - j)
+        piece = idx[:, j:j + c]
+        if c < TBL:
+            piece = jnp.concatenate(
+                [piece, jnp.zeros((M, TBL - c), piece.dtype)], axis=1)
+        g = jnp.take_along_axis(tab, piece, axis=1)
+        outs.append(g[:, :c] if c < TBL else g)
+    return jnp.concatenate(outs, axis=1)
+
+
+def _taps_4(ix, iy, Ht, Wt):
+    """Fractional weights, validity-folded; clipped texel indices.
+
+    Returns (wy0, wy1, wx0, wx1, vh0, vh1, vw0, vw1, idx) where idx is
+    a list of 4 int32 (M, P) texel index planes [00, 01, 10, 11]
+    (a = h tap, b = w tap).
+    """
+    h0 = jnp.floor(iy)
+    w0 = jnp.floor(ix)
+    fy = iy - h0
+    fx = ix - w0
+    one = jnp.ones_like(fy)
+
+    def valid(v, n):
+        return jnp.where((v >= 0.0) & (v <= n - 1.0), one, 0.0)
+
+    vh0 = valid(h0, Ht)
+    vh1 = valid(h0 + 1.0, Ht)
+    vw0 = valid(w0, Wt)
+    vw1 = valid(w0 + 1.0, Wt)
+    ih0 = jnp.clip(h0, 0.0, Ht - 1.0).astype(jnp.int32)
+    ih1 = jnp.clip(h0 + 1.0, 0.0, Ht - 1.0).astype(jnp.int32)
+    iw0 = jnp.clip(w0, 0.0, Wt - 1.0).astype(jnp.int32)
+    iw1 = jnp.clip(w0 + 1.0, 0.0, Wt - 1.0).astype(jnp.int32)
+    r0 = ih0 * Wt
+    r1 = ih1 * Wt
+    idx = [r0 + iw0, r0 + iw1, r1 + iw0, r1 + iw1]
+    return (1.0 - fy), fy, (1.0 - fx), fx, vh0, vh1, vw0, vw1, idx
+
+
+def _warp_gather(tab_ref, idx, vmask, wy0, wy1, wx0, wx1, CC, P):
+    """4-tap warp for all capsules: returns CC planes (M, P) plus the
+    validity-masked texel planes (for gradient reuse in the backward).
+
+    tab_ref block: (1, CC, M, TBL). vmask: 4 validity products
+    [v00, v01, v10, v11].
+    """
+    V, texels = [], []
+    for cc in range(CC):
+        tab = tab_ref[0, cc]
+        t = [_gather_tab(tab, idx[s], P) * vmask[s] for s in range(4)]
+        texels.append(t)
+        s0 = wx0 * t[0] + wx1 * t[1]
+        s1 = wx0 * t[2] + wx1 * t[3]
+        V.append(wy0 * s0 + wy1 * s1)
+    return V, texels
+
+
+def _fwd_kernel(tab_ref, pose_ref, pres_ref, tgt_ref, gx_ref, gy_ref,
+                scal_ref, ll_ref, num_ref, den_ref, *, C, Ht, Wt, P):
+    CC = C + 1
+    bg_value = scal_ref[0, 0]
+    bg_mix = scal_ref[0, 1]
+    scale = scal_ref[0, 2]
+    inv_2var = 1.0 / (2.0 * scale * scale)
+    neg_const = -jnp.log(scale) - _LOG_SQRT_2PI
+
+    pose = pose_ref[0]
+    pres = pres_ref[0]
+    gx = gx_ref[:]
+    gy = gy_ref[:]
+    ix, iy = _coords_mp(pose, gx, gy, Ht, Wt)
+    wy0, wy1, wx0, wx1, vh0, vh1, vw0, vw1, idx = _taps_4(ix, iy, Ht, Wt)
+    vmask = [vh0 * vw0, vh0 * vw1, vh1 * vw0, vh1 * vw1]
+    V, _ = _warp_gather(tab_ref, idx, vmask, wy0, wy1, wx0, wx1, CC, P)
+
+    mix = V[C] + _log_safe(pres)                    # (M, P)
+    dmx = jnp.maximum(jnp.max(mix, axis=0, keepdims=True),
+                      jnp.full_like(mix[:1], bg_mix))
+    dsum = (jnp.sum(jnp.exp(mix - dmx), axis=0, keepdims=True)
+            + jnp.exp(bg_mix - dmx))
+    den_lse = jnp.log(dsum) + dmx
+    den_ref[0] = den_lse
+
+    for c in range(C):
+        tc = tgt_ref[0, c:c + 1, :]
+        d = tc - V[c]
+        lp = -(d * d) * inv_2var + neg_const
+        d_bg = tc - bg_value
+        lp_bg = -(d_bg * d_bg) * inv_2var + neg_const
+        terms = mix + lp
+        mx = jnp.maximum(jnp.max(terms, axis=0, keepdims=True),
+                         bg_mix + lp_bg)
+        ssum = (jnp.sum(jnp.exp(terms - mx), axis=0, keepdims=True)
+                + jnp.exp(bg_mix + lp_bg - mx))
+        num_lse = jnp.log(ssum) + mx
+        num_ref[0, c:c + 1, :] = num_lse
+        ll_ref[0, c:c + 1, :] = num_lse - den_lse
+
+
+def _bwd_kernel(tab_ref, pose_ref, pres_ref, tgt_ref, gx_ref, gy_ref,
+                scal_ref, g_ref, num_ref, den_ref,
+                gT_ref, gpose_ref, gpres_ref, gtgt_ref, grow_ref,
+                *, C, Ht, Wt, P, G):
+    CC = C + 1
+    G8 = GROUP
+    bg_value = scal_ref[0, 0]
+    bg_mix = scal_ref[0, 1]
+    scale = scal_ref[0, 2]
+    inv_2var = 1.0 / (2.0 * scale * scale)
+    neg_const = -jnp.log(scale) - _LOG_SQRT_2PI
+
+    pose = pose_ref[0]
+    pres = pres_ref[0]
+    gx = gx_ref[:]
+    gy = gy_ref[:]
+    ix, iy = _coords_mp(pose, gx, gy, Ht, Wt)
+    wy0, wy1, wx0, wx1, vh0, vh1, vw0, vw1, idx = _taps_4(ix, iy, Ht, Wt)
+    vmask = [vh0 * vw0, vh0 * vw1, vh1 * vw0, vh1 * vw1]
+    V, texels = _warp_gather(tab_ref, idx, vmask, wy0, wy1, wx0, wx1,
+                             CC, P)
+
+    presq = _log_safe(pres)
+    mix = V[C] + presq
+    den_lse = den_ref[0]
+    g = [g_ref[0, c:c + 1, :] for c in range(C)]
+    g_sum_c = g[0]
+    for c in range(1, C):
+        g_sum_c = g_sum_c + g[c]
+
+    r = jnp.exp(mix - den_lse)
+    r_bg = jnp.exp(bg_mix - den_lse)
+    gV = []
+    gmix = -(g_sum_c * r)
+    gq_bg_sum = jnp.zeros_like(den_lse)
+    g_bgv_row = jnp.zeros_like(den_lse)
+    sq_row = jnp.zeros_like(den_lse)
+    q_row = jnp.zeros_like(den_lse)
+    for c in range(C):
+        tc = tgt_ref[0, c:c + 1, :]
+        num_lse = num_ref[0, c:c + 1, :]
+        diff = tc - V[c]
+        lp = -(diff * diff) * inv_2var + neg_const
+        q = jnp.exp(mix + lp - num_lse)
+        gq = g[c] * q
+        gV.append(gq * diff * (2.0 * inv_2var))
+        gmix = gmix + gq
+
+        d_bg = tc - bg_value
+        lp_bg = -(d_bg * d_bg) * inv_2var + neg_const
+        q_bg = jnp.exp(bg_mix + lp_bg - num_lse)
+        gq_bg = g[c] * q_bg
+        gq_bg_sum = gq_bg_sum + gq_bg
+        g_bgv_row = g_bgv_row + gq_bg * d_bg
+        gtgt_ref[0, c:c + 1, :] = (
+            jnp.sum(gq * diff, axis=0, keepdims=True) + gq_bg * d_bg
+        ) * (-2.0 * inv_2var)
+        sq_row = (sq_row
+                  + jnp.sum(gq * (diff * diff), axis=0, keepdims=True)
+                  + gq_bg * (d_bg * d_bg))
+        q_row = q_row + jnp.sum(gq, axis=0, keepdims=True) + gq_bg
+
+    grow_ref[0, 0:1, :] = g_bgv_row * (2.0 * inv_2var)
+    grow_ref[0, 1:2, :] = gq_bg_sum - g_sum_c * r_bg
+    grow_ref[0, 2:3, :] = sq_row / (scale * scale * scale) - q_row / scale
+
+    g_presq = jnp.sum(gmix, axis=1, keepdims=True)
+    gpres_ref[0] = jnp.where(pres < _PRES_EPS, jnp.zeros_like(pres),
+                             g_presq / pres)
+
+    # coordinate gradients reuse the gathered (validity-masked) texels:
+    #   dV/dix = wy0*(t01-t00) + wy1*(t11-t10)
+    #   dV/diy = wx0*(t10-t00) + wx1*(t11-t01)
+    g_ix = jnp.zeros_like(ix)
+    g_iy = jnp.zeros_like(ix)
+    for cc in range(CC):
+        gval = gV[cc] if cc < C else gmix
+        t = texels[cc]
+        g_ix = g_ix + gval * (wy0 * (t[1] - t[0]) + wy1 * (t[3] - t[2]))
+        g_iy = g_iy + gval * (wx0 * (t[2] - t[0]) + wx1 * (t[3] - t[1]))
+
+    cx = 0.5 * Wt
+    cy = 0.5 * Ht
+    gpose_ref[0, :, 0:1] = jnp.sum(g_ix * gx, axis=1, keepdims=True) * cx
+    gpose_ref[0, :, 1:2] = jnp.sum(g_ix * gy, axis=1, keepdims=True) * cx
+    gpose_ref[0, :, 2:3] = jnp.sum(g_ix, axis=1, keepdims=True) * cx
+    gpose_ref[0, :, 3:4] = jnp.sum(g_iy * gx, axis=1, keepdims=True) * cy
+    gpose_ref[0, :, 4:5] = jnp.sum(g_iy * gy, axis=1, keepdims=True) * cy
+    gpose_ref[0, :, 5:6] = jnp.sum(g_iy, axis=1, keepdims=True) * cy
+
+    # template gradient: g_T[m,cc,h,w] = sum_p Ucc_m * wx_w  (U = g*wy_h)
+    # via the per-(row, group) masked MXU contraction (v4 pattern):
+    # MXU is idle here; the full tap-weight transpose never materializes.
+    e_w = jax.lax.broadcasted_iota(jnp.int32, (Wt * G8, Wt), 0) // G8
+    e_w2 = jax.lax.broadcasted_iota(jnp.int32, (Wt * G8, Wt), 1)
+    E = (e_w == e_w2).astype(MXU_DTYPE)
+    r_m = jax.lax.broadcasted_iota(jnp.int32, (CC * G8, Wt * G8), 0) % G8
+    c_m = jax.lax.broadcasted_iota(jnp.int32, (CC * G8, Wt * G8), 1) % G8
+    D = (r_m == c_m).astype(jnp.float32)
+
+    wxp = [_tap(ix, float(w)) for w in range(Wt)]   # (M, P) tap planes
+    Rg = []
+    for gi in range(G):
+        sl = slice(gi * G8, (gi + 1) * G8)
+        Rg.append(jnp.concatenate([w[sl] for w in wxp],
+                                  axis=0).astype(MXU_DTYPE))
+
+    def row_body(h, _):
+        wyh = _tap(iy, h.astype(iy.dtype))
+        U = [(gV[cc] if cc < C else gmix) * wyh for cc in range(CC)]
+        for gi in range(G):
+            sl = slice(gi * G8, (gi + 1) * G8)
+            Z = jnp.concatenate([u[sl] for u in U],
+                                axis=0).astype(MXU_DTYPE)
+            Gm = jax.lax.dot_general(
+                Z, Rg[gi], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_MXU_PREC)                # (CC*8, Wt*8)
+            GT = jax.lax.dot_general(
+                (Gm * D).astype(MXU_DTYPE), E, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_MXU_PREC)                # (CC*8, Wt)
+            gT_ref[0, h, gi] = jnp.concatenate(
+                [GT[cc * G8:(cc + 1) * G8] for cc in range(CC)], axis=1)
+        return 0
+
+    jax.lax.fori_loop(0, Ht, row_body, 0)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call plumbing
+# ---------------------------------------------------------------------------
+
+def _prep(templates, alpha_b, pose, presence, target, out_size):
+    B, M, C, Ht, Wt = templates.shape
+    H, W = out_size
+    P = H * W
+    CC = C + 1
+    TAc = jnp.concatenate([templates.astype(jnp.float32),
+                           alpha_b.astype(jnp.float32)], axis=2)
+    tab = TAc.reshape(B, M, CC, Ht * Wt)
+    tab = jnp.concatenate(
+        [tab, jnp.zeros((B, M, CC, TBL - Ht * Wt), jnp.float32)], axis=-1)
+    tab = jnp.transpose(tab, (0, 2, 1, 3))          # (B, CC, M, TBL)
+    pose_k = pose.astype(jnp.float32)
+    pres_k = presence.reshape(B, M, 1).astype(jnp.float32)
+    tgt = target.reshape(B, C, P).astype(jnp.float32)
+    gx, gy = _base_grid(out_size, jnp.float32)
+    dims = (B, M, C, Ht, Wt, H, W, P)
+    return tab, pose_k, pres_k, tgt, gx.reshape(1, P), gy.reshape(1, P), \
+        dims
+
+
+def _scalars(bg_value, bg_mixing_logit, scale):
+    return jnp.stack([
+        jnp.asarray(bg_value, jnp.float32).reshape(()),
+        jnp.asarray(bg_mixing_logit, jnp.float32).reshape(()),
+        jnp.asarray(scale, jnp.float32).reshape(()),
+        jnp.zeros((), jnp.float32),
+    ]).reshape(1, 4)
+
+
+def _in_specs(dims):
+    B, M, C, Ht, Wt, H, W, P = dims
+    CC = C + 1
+    row = lambda b: (b, 0, 0)  # noqa: E731
+    return [
+        pl.BlockSpec((1, CC, M, TBL), lambda b: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, M, 6), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, M, 1), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C, P), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, P), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, P), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4), lambda b: (0, 0), memory_space=pltpu.SMEM),
+    ]
+
+
+def _fwd_call(tab, pose_k, pres_k, tgt, gx, gy, scal, dims):
+    B, M, C, Ht, Wt, H, W, P = dims
+    kern = functools.partial(_fwd_kernel, C=C, Ht=Ht, Wt=Wt, P=P)
+    row = lambda b: (b, 0, 0)  # noqa: E731
+    return pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=_in_specs(dims),
+        out_specs=[
+            pl.BlockSpec((1, C, P), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, P), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), row, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, C, P), jnp.float32),
+            jax.ShapeDtypeStruct((B, C, P), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, P), jnp.float32),
+        ],
+        interpret=_use_interpret(),
+    )(tab, pose_k, pres_k, tgt, gx, gy, scal)
+
+
+def _bwd_call(tab, pose_k, pres_k, tgt, gx, gy, scal, g, num, den, dims):
+    B, M, C, Ht, Wt, H, W, P = dims
+    CC = C + 1
+    G = M // GROUP
+    kern = functools.partial(_bwd_kernel, C=C, Ht=Ht, Wt=Wt, P=P, G=G)
+    row = lambda b: (b, 0, 0)  # noqa: E731
+    return pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=_in_specs(dims) + [
+            pl.BlockSpec((1, C, P), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, P), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), row, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Ht, G, GROUP, CC * Wt),
+                         lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, 6), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, P), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, P), row, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Ht, G, GROUP, CC * Wt), jnp.float32),
+            jax.ShapeDtypeStruct((B, M, 6), jnp.float32),
+            jax.ShapeDtypeStruct((B, M, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, C, P), jnp.float32),
+            jax.ShapeDtypeStruct((B, 3, P), jnp.float32),
+        ],
+        interpret=_use_interpret(),
+    )(tab, pose_k, pres_k, tgt, gx, gy, scal, g, num, den)
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp + public wrapper
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def _core(templates, alpha_b, pose, presence, bg_value, bg_mixing_logit,
+          scale, target, out_size: Tuple[int, int]):
+    ll, _ = _core_fwd(templates, alpha_b, pose, presence, bg_value,
+                      bg_mixing_logit, scale, target, out_size)
+    return ll
+
+
+def _core_fwd(templates, alpha_b, pose, presence, bg_value,
+              bg_mixing_logit, scale, target, out_size):
+    tab, pose_k, pres_k, tgt, gx, gy, dims = _prep(
+        templates, alpha_b, pose, presence, target, out_size)
+    B, M, C, Ht, Wt, H, W, P = dims
+    scal = _scalars(bg_value, bg_mixing_logit, scale)
+    ll, num, den = _fwd_call(tab, pose_k, pres_k, tgt, gx, gy, scal, dims)
+    res = (templates, alpha_b, pose, presence, bg_value, bg_mixing_logit,
+           scale, target, num, den)
+    return ll.reshape(B, C, H, W), res
+
+
+def _core_bwd(out_size, res, g):
+    (templates, alpha_b, pose, presence, bg_value, bg_mixing_logit, scale,
+     target, num, den) = res
+    tab, pose_k, pres_k, tgt, gx, gy, dims = _prep(
+        templates, alpha_b, pose, presence, target, out_size)
+    B, M, C, Ht, Wt, H, W, P = dims
+    CC = C + 1
+    scal = _scalars(bg_value, bg_mixing_logit, scale)
+    g2 = g.reshape(B, C, P).astype(jnp.float32)
+    gT, gpose, gpres, gtgt, grow = _bwd_call(
+        tab, pose_k, pres_k, tgt, gx, gy, scal, g2, num, den, dims)
+
+    gT = gT.reshape(B, Ht, M, CC, Wt).transpose(0, 2, 3, 1, 4)
+    g_templates = gT[:, :, :C]
+    g_alpha = gT[:, :, C:]
+    g_pose = gpose.reshape(pose.shape)
+    g_presence = gpres.reshape(presence.shape)
+    g_target = gtgt.reshape(target.shape)
+    s = jnp.sum(grow, axis=(0, 2))
+
+    def like(v, ref):
+        return jnp.asarray(v, jnp.float32).reshape(jnp.shape(ref))
+
+    return (g_templates, g_alpha.reshape(alpha_b.shape), g_pose,
+            g_presence, like(s[0], bg_value),
+            like(s[1], bg_mixing_logit), like(s[2], scale), g_target)
+
+
+_core.defvjp(_core_fwd, _core_bwd)
+
+
+def pallas_decoder_ll_gather(templates, alpha, pose, presence, bg_value,
+                             bg_mixing_logit, scale, target,
+                             out_size: Tuple[int, int]):
+    """Drop-in gather-based twin of ops.decoder_ll.fused_decoder_ll.
+
+    Same argument contract (post-nonlinearity bg/scale values, alpha as
+    (1 or B, M, 1, Ht, Wt) logits); returns the per-pixel reconstruction
+    mixture log-likelihood (B, C, H, W) in float32. Requires
+    Ht*Wt <= 128.
+    """
+    B, M, C, Ht, Wt = templates.shape
+    if not supports((Ht, Wt)):
+        raise ValueError(f"template {Ht}x{Wt} exceeds the {TBL}-texel "
+                         "gather table; use fused_impl='xla' or 'pallas'")
+    alpha_b = jnp.broadcast_to(alpha.reshape(-1, M, 1, Ht, Wt),
+                               (B, M, 1, Ht, Wt))
+    pad = (-M) % GROUP
+    if pad:
+        # presence-0 capsules contribute nothing (log_safe(0) = -1e8)
+        zt = jnp.zeros((B, pad, C, Ht, Wt), templates.dtype)
+        za = jnp.zeros((B, pad, 1, Ht, Wt), alpha_b.dtype)
+        zp = jnp.zeros((B, pad, 6), pose.dtype)
+        templates = jnp.concatenate([templates, zt], axis=1)
+        alpha_b = jnp.concatenate([alpha_b, za], axis=1)
+        pose = jnp.concatenate([pose, zp], axis=1)
+        presence = jnp.concatenate(
+            [presence, jnp.zeros((B, pad), presence.dtype)], axis=1)
+        ll = _core(templates, alpha_b, pose, presence, bg_value,
+                   bg_mixing_logit, scale, target, out_size)
+        return ll
+    return _core(templates, alpha_b, pose, presence, bg_value,
+                 bg_mixing_logit, scale, target, out_size)
