@@ -13,9 +13,17 @@ XLA's compiled cost analysis against the chip's bf16 peak) and "configs"
 while the total run stays inside a time budget.
 
 Env knobs:
-  SCAE_BENCH_IMPL=xla|pallas   fused decoder-ll implementation (default
-                               from tools/ab_pallas_ll.py A/B results)
+  SCAE_BENCH_IMPL=auto|xla|pallas|gather
+      fused decoder-ll implementation. Default 'auto' = the gather
+      kernel (exact 4-tap warp, tools/ab_banded_ll.py: 2.4x over the
+      dense kernels) where the template fits its 128-texel table, XLA
+      einsum path otherwise.
   SCAE_BENCH_FLAGSHIP_ONLY=1   skip the staged configs
+
+MFU accounting: flops/step comes from XLA's cost analysis of the
+einsum-path step (fused_impl='xla') regardless of the benched impl —
+Pallas kernel internals are invisible to XLA's cost model, and model
+FLOPs are implementation-independent, so this is the honest numerator.
 """
 
 import json
@@ -63,18 +71,20 @@ def _bench_config(model_kwargs, data_size, canvas, scan_steps, repeats,
     )
     from scae_tpu.train.loop import make_augment_fn
 
-    mk = dict(model_kwargs)
-    mk.setdefault("pcae_cnn_encoder_params",
-                  dict(compute_dtype="bfloat16"))
-    pd = dict(mk.get("pcae_decoder_params") or {})
-    pd.setdefault("fused_tap_dtype", "bfloat16")
-    pd.setdefault("fused_impl", fused_impl)
-    mk["pcae_decoder_params"] = pd
-    sp = dict(mk.get("scae_params") or {})
-    sp.setdefault("reconstruct_alternatives", False)
-    mk["scae_params"] = sp
+    def build(impl):
+        mk = dict(model_kwargs)
+        mk.setdefault("pcae_cnn_encoder_params",
+                      dict(compute_dtype="bfloat16"))
+        pd = dict(mk.get("pcae_decoder_params") or {})
+        pd.setdefault("fused_tap_dtype", "bfloat16")
+        pd["fused_impl"] = impl
+        mk["pcae_decoder_params"] = pd
+        sp = dict(mk.get("scae_params") or {})
+        sp.setdefault("reconstruct_alternatives", False)
+        mk["scae_params"] = sp
+        return make_scae(mk), mk
 
-    model = make_scae(mk)
+    model, mk = build(fused_impl)
     tx = make_optimizer("rmsprop", 3e-5, batch_size=BATCH,
                         lr_decay_rate=0.997, decay_steps=429)
 
@@ -109,7 +119,9 @@ def _bench_config(model_kwargs, data_size, canvas, scan_steps, repeats,
     try:
         from scae_tpu.parallel.train_step import make_fused_train_step
 
-        single = jax.jit(make_fused_train_step(model, tx,
+        # model FLOPs from the einsum-path lowering (see module doc)
+        xla_model, _ = build("xla")
+        single = jax.jit(make_fused_train_step(xla_model, tx,
                                                augment_fn=augment))
         ca = single.lower(state, data,
                           chunk_idxs(0)[0]).compile().cost_analysis()
@@ -143,7 +155,7 @@ def _bench_config(model_kwargs, data_size, canvas, scan_steps, repeats,
 
 def main():
     t_start = time.time()
-    fused_impl = os.environ.get("SCAE_BENCH_IMPL", "xla")
+    fused_impl = os.environ.get("SCAE_BENCH_IMPL", "auto")
 
     flagship = dict(
         image_shape=(1, 40, 40), n_classes=10,

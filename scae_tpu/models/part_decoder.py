@@ -108,8 +108,16 @@ class TemplateBasedImageDecoder(nn.Module):
     #   'xla'    — ops/decoder_ll.py (einsum form; tap dtype 'bfloat16'
     #              halves the dominant HBM traffic, 'float32' for strict
     #              numerical parity)
-    #   'pallas' — ops/pallas_decoder_ll.py (single VMEM-resident kernel;
+    #   'pallas' — ops/pallas_decoder_ll.py (dense single-kernel v4;
     #              tap-sized tensors never touch HBM; f32 numerics)
+    #   'pallas_banded' — ops/pallas_decoder_ll_banded.py (windowed row
+    #              loops; exact but measured SLOWER than 'pallas' —
+    #              kept for the record, tools/probe_banded.py)
+    #   'gather' — ops/pallas_decoder_ll_gather.py (exact 4-tap warp via
+    #              per-lane dynamic gather; fastest: 2.4x over 'pallas'
+    #              at the flagship shape; needs Ht*Wt <= 128)
+    #   'auto'   — 'gather' when the template fits its 128-texel table
+    #              AND running on a real TPU, else 'xla'
     use_fused_ll: bool = True
     fused_tap_dtype: str = "float32"
     fused_impl: str = "xla"
@@ -208,7 +216,31 @@ class TemplateBasedImageDecoder(nn.Module):
                               jax.nn.sigmoid(bg_value)[0],
                               jax.nn.softplus(bg_mixing_logit)[0],
                               scale, target)
-                if self.fused_impl == "pallas":
+                impl = self.fused_impl
+                if impl == "auto":
+                    from scae_tpu.ops.pallas_decoder_ll_gather import (
+                        supports as gather_supports,
+                    )
+
+                    impl = ("gather"
+                            if gather_supports((Ht, Wt))
+                            and jax.default_backend() == "tpu"
+                            else "xla")
+                if impl == "gather":
+                    from scae_tpu.ops.pallas_decoder_ll_gather import (
+                        pallas_decoder_ll_gather,
+                    )
+
+                    target_ll = pallas_decoder_ll_gather(
+                        *fused_args, tuple(self.output_size))
+                elif impl == "pallas_banded":
+                    from scae_tpu.ops.pallas_decoder_ll_banded import (
+                        pallas_decoder_ll_banded,
+                    )
+
+                    target_ll = pallas_decoder_ll_banded(
+                        *fused_args, tuple(self.output_size))
+                elif impl == "pallas":
                     from scae_tpu.ops.pallas_decoder_ll import (
                         pallas_decoder_ll,
                     )

@@ -17,3 +17,9 @@ from scae_tpu.ops.gmm import GaussianMixture  # noqa: F401
 from scae_tpu.ops.decoder_ll import fused_decoder_ll  # noqa: F401
 from scae_tpu.ops.pallas_attention import pallas_qkv_attention  # noqa: F401
 from scae_tpu.ops.pallas_decoder_ll import pallas_decoder_ll  # noqa: F401
+from scae_tpu.ops.pallas_decoder_ll_banded import (  # noqa: F401
+    pallas_decoder_ll_banded,
+)
+from scae_tpu.ops.pallas_decoder_ll_gather import (  # noqa: F401
+    pallas_decoder_ll_gather,
+)

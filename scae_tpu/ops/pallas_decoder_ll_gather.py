@@ -10,8 +10,9 @@ windowed kernel (ops/pallas_decoder_ll_banded.py) cut the row loop
 
 This kernel computes the 4 taps DIRECTLY with Mosaic's per-lane dynamic
 gather (`tpu.dynamic_gather` via jnp.take_along_axis, verified exact on
-v5e): each capsule's (Ht*Wt <= 128)-texel template lives in one
-128-lane vector register per channel, and the warp is
+v5e): each capsule's template lives in one 128-lane vector register
+per channel (two, half-selected, for templates up to 256 texels), and
+the warp is
 
     V[m, p] = sum_{a,b in {0,1}}  wy_a * wx_b * T[m, tex(h0+a, w0+b)]
 
@@ -30,9 +31,8 @@ otherwise idle; see _bwd_kernel).
 Math and argument contract are identical to ops/decoder_ll.py (which
 mirrors the reference TemplateBasedImageDecoder + GaussianMixture
 .log_prob pipeline, reference torch_scae/part_decoder.py:152-243,
-distributions.py:41-48). Requires Ht*Wt <= 128 (one lane register per
-template channel); larger templates fall back to other impls at the
-call site.
+distributions.py:41-48). Requires Ht*Wt <= 256; larger templates fall
+back to other impls at the call site.
 """
 
 import functools
@@ -50,7 +50,8 @@ _LOG_SQRT_2PI = 0.5 * math.log(2.0 * math.pi)
 _PRES_EPS = 1e-16  # log_safe floor (reference math_ops.py:18-22)
 
 GROUP = 8           # capsules per masked-matmul block in the gT loop
-TBL = 128           # texel-table lane width (one f32 vector register)
+TBL = 128           # one f32 vector register of texels (gather unit)
+TBL_MAX = 256       # two-vreg tables: gather each half, select on idx
 MXU_DTYPE = jnp.bfloat16
 _MXU_PREC = jax.lax.Precision.DEFAULT
 
@@ -60,7 +61,11 @@ def _use_interpret() -> bool:
 
 
 def supports(template_size) -> bool:
-    return template_size[0] * template_size[1] <= TBL
+    return template_size[0] * template_size[1] <= TBL_MAX
+
+
+def _table_width(Ht, Wt) -> int:
+    return TBL if Ht * Wt <= TBL else TBL_MAX
 
 
 def _tap(coord, k):
@@ -82,13 +87,18 @@ def _coords_mp(pose, gx, gy, Ht, Wt):
 
 
 def _gather_tab(tab, idx, P):
-    """Chunked per-lane gather: tab (M, TBL), idx (M, P) -> (M, P).
+    """Chunked per-lane gather: tab (M, TBL or 2*TBL), idx (M, P) -> (M, P).
 
     Mosaic's dynamic_gather needs the source to be a single vreg along
     the gather (lane) dim, so gather in 128-lane chunks of the pixel
-    axis (tail chunk padded).
+    axis (tail chunk padded). Tables wider than one vreg (templates up
+    to 256 texels) gather each half and select on the index.
     """
-    M = tab.shape[0]
+    M, TW = tab.shape
+    two = TW > TBL
+    if two:
+        tab_lo = tab[:, :TBL]
+        tab_hi = tab[:, TBL:]
     outs = []
     for j in range(0, P, TBL):
         c = min(TBL, P - j)
@@ -96,7 +106,16 @@ def _gather_tab(tab, idx, P):
         if c < TBL:
             piece = jnp.concatenate(
                 [piece, jnp.zeros((M, TBL - c), piece.dtype)], axis=1)
-        g = jnp.take_along_axis(tab, piece, axis=1)
+        if two:
+            hi = piece >= TBL
+            g = jnp.where(
+                hi,
+                jnp.take_along_axis(tab_hi,
+                                    jnp.maximum(piece - TBL, 0), axis=1),
+                jnp.take_along_axis(tab_lo,
+                                    jnp.minimum(piece, TBL - 1), axis=1))
+        else:
+            g = jnp.take_along_axis(tab, piece, axis=1)
         outs.append(g[:, :c] if c < TBL else g)
     return jnp.concatenate(outs, axis=1)
 
@@ -329,12 +348,13 @@ def _prep(templates, alpha_b, pose, presence, target, out_size):
     H, W = out_size
     P = H * W
     CC = C + 1
+    TW = _table_width(Ht, Wt)
     TAc = jnp.concatenate([templates.astype(jnp.float32),
                            alpha_b.astype(jnp.float32)], axis=2)
     tab = TAc.reshape(B, M, CC, Ht * Wt)
     tab = jnp.concatenate(
-        [tab, jnp.zeros((B, M, CC, TBL - Ht * Wt), jnp.float32)], axis=-1)
-    tab = jnp.transpose(tab, (0, 2, 1, 3))          # (B, CC, M, TBL)
+        [tab, jnp.zeros((B, M, CC, TW - Ht * Wt), jnp.float32)], axis=-1)
+    tab = jnp.transpose(tab, (0, 2, 1, 3))          # (B, CC, M, TW)
     pose_k = pose.astype(jnp.float32)
     pres_k = presence.reshape(B, M, 1).astype(jnp.float32)
     tgt = target.reshape(B, C, P).astype(jnp.float32)
@@ -358,8 +378,8 @@ def _in_specs(dims):
     CC = C + 1
     row = lambda b: (b, 0, 0)  # noqa: E731
     return [
-        pl.BlockSpec((1, CC, M, TBL), lambda b: (b, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, CC, M, _table_width(Ht, Wt)),
+                     lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, M, 6), row, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, M, 1), row, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, C, P), row, memory_space=pltpu.VMEM),
@@ -488,11 +508,11 @@ def pallas_decoder_ll_gather(templates, alpha, pose, presence, bg_value,
     Same argument contract (post-nonlinearity bg/scale values, alpha as
     (1 or B, M, 1, Ht, Wt) logits); returns the per-pixel reconstruction
     mixture log-likelihood (B, C, H, W) in float32. Requires
-    Ht*Wt <= 128.
+    Ht*Wt <= 256.
     """
     B, M, C, Ht, Wt = templates.shape
     if not supports((Ht, Wt)):
-        raise ValueError(f"template {Ht}x{Wt} exceeds the {TBL}-texel "
+        raise ValueError(f"template {Ht}x{Wt} exceeds the {TBL_MAX}-texel "
                          "gather table; use fused_impl='xla' or 'pallas'")
     alpha_b = jnp.broadcast_to(alpha.reshape(-1, M, 1, Ht, Wt),
                                (B, M, 1, Ht, Wt))

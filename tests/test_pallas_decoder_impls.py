@@ -1,0 +1,79 @@
+"""Numerics of the Pallas decoder-ll implementations vs the XLA path.
+
+Runs in interpret mode on the CPU test mesh (tests/conftest.py); the
+same comparisons run on real hardware via tools/check_banded_ll.py
+(SCAE_CHECK_IMPL=banded|gather). Reference math:
+torch_scae/part_decoder.py:152-243 + distributions.py:41-48, already
+golden-pinned to torch by tests/test_parity_golden.py through the XLA
+path this test compares against.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from scae_tpu.ops.decoder_ll import fused_decoder_ll
+from scae_tpu.ops.geometry import geometric_transform
+from scae_tpu.ops.pallas_decoder_ll_banded import pallas_decoder_ll_banded
+from scae_tpu.ops.pallas_decoder_ll_gather import pallas_decoder_ll_gather
+
+GRAD_NAMES = ["templates", "alpha", "pose", "presence", "bg_value",
+              "bg_mix", "scale", "target"]
+
+
+def _inputs(key, B, M, C, Ht, Wt, H, W):
+    ks = jax.random.split(key, 8)
+    templates = jax.random.uniform(ks[0], (B, M, C, Ht, Wt))
+    alpha = jax.random.normal(ks[1], (1, M, 1, Ht, Wt))
+    pose = geometric_transform(jax.random.normal(ks[2], (B, M, 6)) * 0.6)
+    presence = jax.random.uniform(ks[3], (B, M))
+    target = jax.random.uniform(ks[4], (B, C, H, W))
+    return (templates, alpha, pose, presence, jnp.asarray(0.3),
+            jnp.asarray(0.7), jnp.asarray(1.0), target)
+
+
+@pytest.mark.parametrize("impl,tol", [
+    (pallas_decoder_ll_gather, 3e-2),
+    (pallas_decoder_ll_banded, 3e-2),
+])
+@pytest.mark.parametrize("shape", [
+    (2, 16, 1, 11, 11, 40, 40),   # flagship-like
+    (2, 13, 1, 5, 5, 24, 24),     # M not a multiple of 8 (pad path)
+])
+def test_value_and_grads_match_xla(impl, tol, shape):
+    B, M, C, Ht, Wt, H, W = shape
+    args = _inputs(jax.random.PRNGKey(0), *shape)
+
+    ll_ref = fused_decoder_ll(*args, (H, W), jnp.float32)
+    ll_new = impl(*args, (H, W))
+    assert float(jnp.max(jnp.abs(ll_ref - ll_new))) < 1e-2
+
+    def loss_ref(*a):
+        return jnp.sum(fused_decoder_ll(*a, (H, W), jnp.float32) ** 2)
+
+    def loss_new(*a):
+        return jnp.sum(impl(*a, (H, W)) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(8)))(*args)
+    g_new = jax.grad(loss_new, argnums=tuple(range(8)))(*args)
+    for n, a, b in zip(GRAD_NAMES, g_ref, g_new):
+        d = float(jnp.max(jnp.abs(a - b)))
+        s = float(jnp.max(jnp.abs(a))) + 1e-30
+        assert d / s < tol, f"grad {n}: rel err {d / s:.2e}"
+
+
+@pytest.mark.slow
+def test_multichannel_two_vreg_gather_matches_xla():
+    # 14x14 = 196 texels exercises the two-vreg table path (svhn/cifar)
+    shape = (2, 16, 3, 14, 14, 32, 32)
+    B, M, C, Ht, Wt, H, W = shape
+    args = _inputs(jax.random.PRNGKey(1), *shape)
+    ll_ref = fused_decoder_ll(*args, (H, W), jnp.float32)
+    ll_new = pallas_decoder_ll_gather(*args, (H, W))
+    assert float(jnp.max(jnp.abs(ll_ref - ll_new))) < 1e-2
+
+
+def test_gather_rejects_oversized_templates():
+    args = _inputs(jax.random.PRNGKey(2), 1, 8, 1, 17, 17, 40, 40)
+    with pytest.raises(ValueError, match="256-texel"):
+        pallas_decoder_ll_gather(*args, (40, 40))

@@ -1,5 +1,6 @@
-"""In-process A/B of the FULL train step: fused_impl xla vs pallas.
-Scan-fused (50 steps/dispatch), host-value-read sync."""
+"""In-process A/B of the FULL train step across fused_impl choices.
+Scan-fused (50 steps/dispatch), host-value-read sync.
+Usage: python tools/ab_step_impl.py [impl ...]  (default: xla gather)"""
 import sys, time
 sys.path.insert(0, "/root/repo")
 import jax, jax.numpy as jnp, numpy as np
@@ -41,6 +42,8 @@ def bench(impl):
     print(f"{impl}: best step {best*1e3:.2f} ms -> {BATCH/best:.0f} img/s")
     return best
 
-x = bench("xla")
-p = bench("pallas")
-print(f"step speedup pallas vs xla: {x/p:.3f}x")
+which = sys.argv[1:] or ["xla", "gather"]
+res = {name: bench(name) for name in which}
+base = which[0]
+for name in which[1:]:
+    print(f"step speedup {name} vs {base}: {res[base]/res[name]:.3f}x")
