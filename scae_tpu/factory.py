@@ -86,7 +86,7 @@ class PCAEDecoderConfig:
     background_value: bool = True
     use_fused_ll: bool = True
     fused_tap_dtype: str = "float32"
-    fused_impl: str = "xla"
+    fused_impl: str = "auto"
 
     _derived = ("n_templates", "template_size", "output_size")
 

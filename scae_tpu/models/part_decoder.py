@@ -115,12 +115,12 @@ class TemplateBasedImageDecoder(nn.Module):
     #              kept for the record, tools/probe_banded.py)
     #   'gather' — ops/pallas_decoder_ll_gather.py (exact 4-tap warp via
     #              per-lane dynamic gather; fastest: 2.4x over 'pallas'
-    #              at the flagship shape; needs Ht*Wt <= 128)
-    #   'auto'   — 'gather' when the template fits its 128-texel table
+    #              at the flagship shape; needs Ht*Wt <= 256)
+    #   'auto'   — 'gather' when the template fits its 256-texel table
     #              AND running on a real TPU, else 'xla'
     use_fused_ll: bool = True
     fused_tap_dtype: str = "float32"
-    fused_impl: str = "xla"
+    fused_impl: str = "auto"
 
     @nn.compact
     def __call__(self, templates, pose, presence=None, bg_image=None,

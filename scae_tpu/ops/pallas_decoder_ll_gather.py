@@ -55,6 +55,10 @@ TBL_MAX = 256       # two-vreg tables: gather each half, select on idx
 MXU_DTYPE = jnp.bfloat16
 _MXU_PREC = jax.lax.Precision.DEFAULT
 
+# perf-probe hook (tools/probe_gather_bwd.py): backward sections to skip
+# when timing phase costs. Never set in production.
+_DEBUG_SKIP = frozenset()
+
 
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -310,30 +314,41 @@ def _bwd_kernel(tab_ref, pose_ref, pres_ref, tgt_ref, gx_ref, gy_ref,
     c_m = jax.lax.broadcasted_iota(jnp.int32, (CC * G8, Wt * G8), 1) % G8
     D = (r_m == c_m).astype(jnp.float32)
 
+    if "gT" in _DEBUG_SKIP:
+        gT_ref[0] = jnp.zeros((Ht, G, G8, (C + 1) * Wt), jnp.float32)
+        return
+
+    # single full-width matmul per row: Z (CC*M, P) @ R^T (P, Wt*M),
+    # m-diagonal extracted by a mask + one-hot collapse. The per-group
+    # variant (5 matmuls of (16, P)@(P, 88) per row) measured 1.55 ms of
+    # a 3.0 ms backward — MXU issue/utilization bound, not FLOPs bound
+    # (tools/probe_gather_bwd.py).
+    M = G * G8
     wxp = [_tap(ix, float(w)) for w in range(Wt)]   # (M, P) tap planes
-    Rg = []
-    for gi in range(G):
-        sl = slice(gi * G8, (gi + 1) * G8)
-        Rg.append(jnp.concatenate([w[sl] for w in wxp],
-                                  axis=0).astype(MXU_DTYPE))
+    R = jnp.concatenate(wxp, axis=0).astype(MXU_DTYPE)      # (Wt*M, P)
+    r_m = jax.lax.broadcasted_iota(jnp.int32, (CC * M, Wt * M), 0) % M
+    c_m = jax.lax.broadcasted_iota(jnp.int32, (CC * M, Wt * M), 1) % M
+    Dm = (r_m == c_m).astype(jnp.float32)
+    e_w = jax.lax.broadcasted_iota(jnp.int32, (Wt * M, Wt), 0) // M
+    e_w2 = jax.lax.broadcasted_iota(jnp.int32, (Wt * M, Wt), 1)
+    Em = (e_w == e_w2).astype(MXU_DTYPE)
 
     def row_body(h, _):
         wyh = _tap(iy, h.astype(iy.dtype))
         U = [(gV[cc] if cc < C else gmix) * wyh for cc in range(CC)]
+        Z = jnp.concatenate(U, axis=0).astype(MXU_DTYPE)    # (CC*M, P)
+        Gm = jax.lax.dot_general(
+            Z, R, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_MXU_PREC)                    # (CC*M, Wt*M)
+        GT = jax.lax.dot_general(
+            (Gm * Dm).astype(MXU_DTYPE), Em, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_MXU_PREC)                    # (CC*M, Wt)
         for gi in range(G):
-            sl = slice(gi * G8, (gi + 1) * G8)
-            Z = jnp.concatenate([u[sl] for u in U],
-                                axis=0).astype(MXU_DTYPE)
-            Gm = jax.lax.dot_general(
-                Z, Rg[gi], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_MXU_PREC)                # (CC*8, Wt*8)
-            GT = jax.lax.dot_general(
-                (Gm * D).astype(MXU_DTYPE), E, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_MXU_PREC)                # (CC*8, Wt)
             gT_ref[0, h, gi] = jnp.concatenate(
-                [GT[cc * G8:(cc + 1) * G8] for cc in range(CC)], axis=1)
+                [GT[cc * M + gi * G8:cc * M + (gi + 1) * G8]
+                 for cc in range(CC)], axis=1)
         return 0
 
     jax.lax.fori_loop(0, Ht, row_body, 0)

@@ -23,12 +23,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from scae_tpu.ops.decoder_ll import fused_decoder_ll
-from scae_tpu.ops import pallas_decoder_ll_banded as banded
-from scae_tpu.ops import pallas_decoder_ll_gather as gatherk
+from scae_tpu.ops.pallas_decoder_ll_banded import pallas_decoder_ll_banded
+from scae_tpu.ops.pallas_decoder_ll_gather import pallas_decoder_ll_gather
 
 IMPL = {
-    "banded": banded.pallas_decoder_ll_banded,
-    "gather": gatherk.pallas_decoder_ll_gather,
+    "banded": pallas_decoder_ll_banded,
+    "gather": pallas_decoder_ll_gather,
 }[os.environ.get("SCAE_CHECK_IMPL", "banded")]
 
 

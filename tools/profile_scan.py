@@ -50,9 +50,15 @@ def timed_scan(stage_fn, feed):
 
 
 def main():
+    import os
     model = make_scae(dict(
         image_shape=(1, 40, 40), n_classes=10,
         n_part_caps=40, n_obj_caps=32,
+        pcae_cnn_encoder_params=dict(compute_dtype=os.environ.get(
+            "SCAE_PROFILE_CNN_DTYPE", "float32")),
+        pcae_decoder_params=dict(
+            fused_tap_dtype="bfloat16",
+            fused_impl=os.environ.get("SCAE_PROFILE_IMPL", "xla")),
         scae_params=dict(reconstruct_alternatives=False),
     ))
     tx = make_optimizer("rmsprop", 3e-5, batch_size=BATCH)
