@@ -148,6 +148,17 @@ class Trainer:
         return create_train_state(self.model, self.tx, example,
                                   jax.random.PRNGKey(seed))
 
+    def _dataset_sizes(self):
+        """Optional data_loader size overrides (synthetic fallback +
+        val split) so demos/small runs can shrink the dataset from
+        config (examples/train_resume_demo.py)."""
+        dl = self.cfg["data_loader"]
+        out = {}
+        for key in ("val_size", "synthetic_train", "synthetic_test"):
+            if dl.get(key) is not None:
+                out[key] = int(dl[key])
+        return out
+
     def evaluate(self, params, dataset, seed: int = 0,
                  max_batches: Optional[int] = None):
         # metrics stay on device until the epoch ends: one host sync per
@@ -197,7 +208,8 @@ class Trainer:
         c, h, _ = cfg["model"]["image_shape"]
         train_ds, _, test_ds, source = data_lib.load_datasets(
             data_dir=cfg["data_loader"].get("data_dir"), seed=seed,
-            image_size=min(h, 28 if c == 1 else h), n_channels=c)
+            image_size=min(h, 28 if c == 1 else h), n_channels=c,
+            **self._dataset_sizes())
         steps_per_epoch = max(len(train_ds) // self.batch_size, 1)
         self.build_steps(steps_per_epoch)
         state = self.init_state(seed)
@@ -229,7 +241,8 @@ class Trainer:
             data_dir=cfg["data_loader"].get("data_dir"),
             seed=seed,
             image_size=min(h, 28 if c == 1 else h),
-            n_channels=c)
+            n_channels=c,
+            **self._dataset_sizes())
         print(f"[scae_tpu] dataset source: {source} "
               f"(train={len(train_ds)}, val={len(val_ds)}, "
               f"test={len(test_ds)})")
