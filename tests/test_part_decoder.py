@@ -91,3 +91,25 @@ def test_zero_presence_kills_component_mixing():
     # all mass on background when no part is present
     np.testing.assert_allclose(mix[:, -1], np.ones_like(mix[:, -1]),
                                atol=1e-6)
+
+
+def test_fused_impl_auto_matches_xla_on_cpu():
+    """'auto' resolves to the XLA einsum path off-TPU (part_decoder.py):
+    target_ll must be identical to an explicit fused_impl='xla' module."""
+    kwargs = dict(n_templates=M, template_size=TS, output_size=OS,
+                  use_alpha_channel=True, background_value=True)
+    dec_auto = TemplateBasedImageDecoder(fused_impl="auto", **kwargs)
+    dec_xla = TemplateBasedImageDecoder(fused_impl="xla", **kwargs)
+    templates = jax.random.uniform(jax.random.PRNGKey(1), (B, M, C, *TS))
+    pose = jax.random.normal(jax.random.PRNGKey(2), (B, M, 6)) * 0.1 \
+        + jnp.asarray([1, 0, 0, 0, 1, 0])
+    presence = jax.random.uniform(jax.random.PRNGKey(3), (B, M))
+    target = jax.random.uniform(jax.random.PRNGKey(4), (B, C, *OS))
+    variables = dec_auto.init(jax.random.PRNGKey(0), templates, pose,
+                              presence, target=target)
+    ll_a = dec_auto.apply(variables, templates, pose, presence,
+                          target=target).target_ll
+    ll_x = dec_xla.apply(variables, templates, pose, presence,
+                         target=target).target_ll
+    assert jax.default_backend() == "cpu"
+    assert np.array_equal(np.asarray(ll_a), np.asarray(ll_x))
