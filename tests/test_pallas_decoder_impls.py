@@ -77,3 +77,25 @@ def test_gather_rejects_oversized_templates():
     args = _inputs(jax.random.PRNGKey(2), 1, 8, 1, 17, 17, 40, 40)
     with pytest.raises(ValueError, match="256-texel"):
         pallas_decoder_ll_gather(*args, (40, 40))
+
+
+def test_gather_extreme_poses_match_xla():
+    """Off-canvas / boundary poses: big translations and degenerate
+    scales push every tap-validity branch (clipped indices with zero
+    weights must reproduce grid_sample zero padding exactly)."""
+    B, M, C, Ht, Wt, H, W = 2, 16, 1, 11, 11, 40, 40
+    ks = jax.random.split(jax.random.PRNGKey(5), 8)
+    templates = jax.random.uniform(ks[0], (B, M, C, Ht, Wt))
+    alpha = jax.random.normal(ks[1], (1, M, 1, Ht, Wt))
+    # raw pose scaled up -> tanh saturates translations to +-1, theta
+    # spins freely; plus a few hand-built degenerate rows
+    pose = geometric_transform(jax.random.normal(ks[2], (B, M, 6)) * 4.0)
+    pose = pose.at[:, 0].set(jnp.asarray([0.01, 0, 1.0, 0, 0.01, 1.0]))
+    pose = pose.at[:, 1].set(jnp.asarray([1.01, 0, -1.0, 0, 1.01, 0.0]))
+    presence = jax.random.uniform(ks[3], (B, M))
+    target = jax.random.uniform(ks[4], (B, C, H, W))
+    args = (templates, alpha, pose, presence, jnp.asarray(0.3),
+            jnp.asarray(0.7), jnp.asarray(1.0), target)
+    ll_ref = fused_decoder_ll(*args, (H, W), jnp.float32)
+    ll_new = pallas_decoder_ll_gather(*args, (H, W))
+    assert float(jnp.max(jnp.abs(ll_ref - ll_new))) < 1e-4
