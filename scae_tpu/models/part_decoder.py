@@ -222,9 +222,17 @@ class TemplateBasedImageDecoder(nn.Module):
                         supports as gather_supports,
                     )
 
+                    # gather needs (a) the template to fit its texel
+                    # table, (b) a real TPU (interpret mode would crawl),
+                    # (c) a single device: a pallas_call has no GSPMD
+                    # partitioning rule, so multi-chip jit+sharding runs
+                    # stay on the fully-partitionable XLA einsum path
+                    # (explicit fused_impl='gather' remains available for
+                    # callers who shard_map the step themselves)
                     impl = ("gather"
                             if gather_supports((Ht, Wt))
                             and jax.default_backend() == "tpu"
+                            and jax.device_count() == 1
                             else "xla")
                 if impl == "gather":
                     from scae_tpu.ops.pallas_decoder_ll_gather import (
