@@ -1,9 +1,17 @@
 """Deterministic resume: an interrupted+resumed run must consume exactly
-the data order of a never-interrupted run and land on the same state.
+the data order of a never-interrupted run and land on the same state up
+to float reassociation.
 
 Epoch and intra-epoch position derive from the restored step
-(train/loop.py), and the per-step noise/augment RNG folds the absolute
-step, so the two runs are step-for-step identical.
+(train/loop.py), the per-step noise/augment RNG folds the absolute
+step, and the Orbax round-trip is bit-exact (asserted below). The one
+thing XLA does NOT guarantee is bitwise equality across different
+scan-chunk groupings: a resumed run's first chunk is shorter, and a
+trip-count-1 lax.scan compiles with slightly different fusion and
+reassociation (measured ~7e-9/step on CPU), which RMSprop's tiny
+eps = (1e-2/B)^2 then amplifies. So the final-state comparison uses an
+fp-reassociation tolerance, while the data order and the checkpoint
+round-trip are asserted exactly.
 """
 
 import jax
@@ -68,4 +76,45 @@ def test_resume_matches_uninterrupted_run(tmp_path):
     flat_c = jax.tree_util.tree_leaves(jax.device_get(state_cont.params))
     flat_r = jax.tree_util.tree_leaves(jax.device_get(state_res.params))
     for a, b in zip(flat_c, flat_r):
-        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+        # fp-reassociation tolerance (module docstring); a data-order or
+        # restore bug diverges at O(1), orders of magnitude above this
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
+
+
+def test_checkpoint_roundtrip_is_bit_exact(tmp_path):
+    """The Orbax save/restore itself is exact; the resume tolerance
+    above exists only for scan-regrouping reassociation."""
+    state = _run(tmp_path, "bits", max_steps=3)
+
+    from scae_tpu.config import load_config
+    from scae_tpu.train.loop import Trainer
+    import scae_tpu.train.data as data_lib
+
+    cfg = load_config("config", overrides=_OVERRIDES + [
+        f"trainer.checkpoint_dir={tmp_path}/bits/ckpt",
+        f"trainer.log_dir={tmp_path}/bits2/logs",
+    ])
+    orig = data_lib.load_datasets
+
+    def tiny_datasets(**kw):
+        kw.update(val_size=32, synthetic_train=128, synthetic_test=32)
+        return orig(**kw)
+
+    data_lib.load_datasets = tiny_datasets
+    try:
+        t = Trainer(cfg)
+        t.build_steps(6)
+        restored = t.ckpt.restore(t.init_state(cfg["seed"]), step=3)
+    finally:
+        data_lib.load_datasets = orig
+
+    for a, b in zip(
+            jax.tree_util.tree_leaves(jax.device_get(restored.params)),
+            jax.tree_util.tree_leaves(jax.device_get(state.params))):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+            jax.tree_util.tree_leaves(jax.device_get(restored.opt_state)),
+            jax.tree_util.tree_leaves(jax.device_get(state.opt_state))):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert np.array_equal(jax.device_get(restored.rng),
+                          jax.device_get(state.rng))
