@@ -95,7 +95,13 @@ class Trainer:
             monitor="loss")
 
         aug = trainer_cfg.get("augment") or {}
-        self.canvas = aug.get("canvas", cfg["model"]["image_shape"][-1])
+        model_hw = cfg["model"]["image_shape"][-1]
+        self.canvas = aug.get("canvas") or model_hw
+        if self.canvas != model_hw:
+            raise ValueError(
+                f"trainer.augment.canvas={self.canvas} but the model "
+                f"consumes {model_hw}x{model_hw} images "
+                "(model.image_shape); set canvas to null to derive it")
         self.max_shift = aug.get("max_shift", 0)
         self.center_pad = make_center_pad_fn(self.canvas)
 
