@@ -124,6 +124,32 @@ def _gather_tab(tab, idx, P):
     return jnp.concatenate(outs, axis=1)
 
 
+def _row_window(pose, Ht, H, W):
+    """Global active template-row window per example: [lo, hi] int32
+    (B, 2). Exact corner bounds of the linear map over the whole canvas,
+    unioned over capsules — rows outside have zero wy taps for every
+    (m, p), so the gT loop can skip them (padded for fp noise)."""
+    xs = (2.0 * jnp.arange(W, dtype=jnp.float32) + 1.0) / W - 1.0
+    ys = (2.0 * jnp.arange(H, dtype=jnp.float32) + 1.0) / H - 1.0
+    c = pose[..., 3]
+    d = pose[..., 4]
+    ty = pose[..., 5]
+    corners = [c * x + d * y + ty
+               for x in (xs[0], xs[-1]) for y in (ys[0], ys[-1])]
+    sy_min = jnp.minimum(jnp.minimum(corners[0], corners[1]),
+                         jnp.minimum(corners[2], corners[3]))
+    sy_max = jnp.maximum(jnp.maximum(corners[0], corners[1]),
+                         jnp.maximum(corners[2], corners[3]))
+    iy_min = ((sy_min + 1.0) * Ht - 1.0) * 0.5      # (B, M)
+    iy_max = ((sy_max + 1.0) * Ht - 1.0) * 0.5
+    lo = jnp.clip(jnp.floor(jnp.min(iy_min, axis=1) - 1.0 - 1e-3) + 1.0,
+                  0, Ht - 1)
+    hi = jnp.clip(jnp.ceil(jnp.max(iy_max, axis=1) + 1.0 + 1e-3) - 1.0,
+                  -1, Ht - 1)
+    return jnp.stack([lo, hi + 1.0],
+                     axis=-1).astype(jnp.int32)[:, None]     # (B, 1, 2)
+
+
 def _taps_4(ix, iy, Ht, Wt):
     """Fractional weights, validity-folded; clipped texel indices.
 
@@ -215,7 +241,7 @@ def _fwd_kernel(tab_ref, pose_ref, pres_ref, tgt_ref, gx_ref, gy_ref,
 
 
 def _bwd_kernel(tab_ref, pose_ref, pres_ref, tgt_ref, gx_ref, gy_ref,
-                scal_ref, g_ref, num_ref, den_ref,
+                scal_ref, g_ref, num_ref, den_ref, hwin_ref,
                 gT_ref, gpose_ref, gpres_ref, gtgt_ref, grow_ref,
                 *, C, Ht, Wt, P, G):
     CC = C + 1
@@ -314,8 +340,8 @@ def _bwd_kernel(tab_ref, pose_ref, pres_ref, tgt_ref, gx_ref, gy_ref,
     c_m = jax.lax.broadcasted_iota(jnp.int32, (CC * G8, Wt * G8), 1) % G8
     D = (r_m == c_m).astype(jnp.float32)
 
+    gT_ref[0] = jnp.zeros((Ht, G, G8, CC * Wt), jnp.float32)
     if "gT" in _DEBUG_SKIP:
-        gT_ref[0] = jnp.zeros((Ht, G, G8, (C + 1) * Wt), jnp.float32)
         return
 
     # single full-width matmul per row: Z (CC*M, P) @ R^T (P, Wt*M),
@@ -351,7 +377,9 @@ def _bwd_kernel(tab_ref, pose_ref, pres_ref, tgt_ref, gx_ref, gy_ref,
                  for cc in range(CC)], axis=1)
         return 0
 
-    jax.lax.fori_loop(0, Ht, row_body, 0)
+    # rows outside the global window have zero wy taps for every (m, p)
+    # (exact corner bounds, computed outside) — skip them; gT was zeroed
+    jax.lax.fori_loop(hwin_ref[0, 0, 0], hwin_ref[0, 0, 1], row_body, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -426,7 +454,8 @@ def _fwd_call(tab, pose_k, pres_k, tgt, gx, gy, scal, dims):
     )(tab, pose_k, pres_k, tgt, gx, gy, scal)
 
 
-def _bwd_call(tab, pose_k, pres_k, tgt, gx, gy, scal, g, num, den, dims):
+def _bwd_call(tab, pose_k, pres_k, tgt, gx, gy, scal, g, num, den, hwin,
+              dims):
     B, M, C, Ht, Wt, H, W, P = dims
     CC = C + 1
     G = M // GROUP
@@ -439,6 +468,8 @@ def _bwd_call(tab, pose_k, pres_k, tgt, gx, gy, scal, g, num, den, dims):
             pl.BlockSpec((1, C, P), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C, P), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, P), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, Ht, G, GROUP, CC * Wt),
@@ -457,7 +488,7 @@ def _bwd_call(tab, pose_k, pres_k, tgt, gx, gy, scal, g, num, den, dims):
             jax.ShapeDtypeStruct((B, 3, P), jnp.float32),
         ],
         interpret=_use_interpret(),
-    )(tab, pose_k, pres_k, tgt, gx, gy, scal, g, num, den)
+    )(tab, pose_k, pres_k, tgt, gx, gy, scal, g, num, den, hwin)
 
 
 # ---------------------------------------------------------------------------
@@ -493,8 +524,9 @@ def _core_bwd(out_size, res, g):
     CC = C + 1
     scal = _scalars(bg_value, bg_mixing_logit, scale)
     g2 = g.reshape(B, C, P).astype(jnp.float32)
+    hwin = _row_window(pose_k, Ht, H, W)
     gT, gpose, gpres, gtgt, grow = _bwd_call(
-        tab, pose_k, pres_k, tgt, gx, gy, scal, g2, num, den, dims)
+        tab, pose_k, pres_k, tgt, gx, gy, scal, g2, num, den, hwin, dims)
 
     gT = gT.reshape(B, Ht, M, CC, Wt).transpose(0, 2, 3, 1, 4)
     g_templates = gT[:, :, :C]
