@@ -54,14 +54,17 @@ class MultiHeadQKVAttention(nn.Module):
         v = v.reshape(B, M, H, d_v_p // H)
 
         if self.use_pallas:
-            from scae_tpu.ops.pallas_attention import pallas_qkv_attention
+            # qkv_attention(use_pallas=True): Pallas forward with the
+            # jnp path's VJP, so the flag is trainable (ops/attention.py)
+            from scae_tpu.ops.attention import qkv_attention
 
             qh = q.transpose(0, 2, 1, 3).reshape(B * H, N, d_k_p // H)
             kh = k.transpose(0, 2, 1, 3).reshape(B * H, M, d_k_p // H)
             vh = v.transpose(0, 2, 1, 3).reshape(B * H, M, d_v_p // H)
             ph = None if presence is None else jnp.repeat(presence, H,
                                                           axis=0)
-            oh = pallas_qkv_attention(qh, kh, vh, ph).astype(q.dtype)
+            oh = qkv_attention(qh, kh, vh, ph,
+                               use_pallas=True).astype(q.dtype)
             o = oh.reshape(B, H, N, d_v_p // H).transpose(0, 2, 1, 3) \
                 .reshape(B, N, d_v_p)
         else:

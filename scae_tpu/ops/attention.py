@@ -39,9 +39,13 @@ def qkv_attention(queries, keys, values, presence=None,
       [B, N, d_v]
     """
     if use_pallas:
-        from scae_tpu.ops.pallas_attention import pallas_qkv_attention
+        if presence is None:
+            presence = jnp.ones(keys.shape[:2], queries.dtype)
+        return _pallas_attention_trainable(queries, keys, values, presence)
+    return _qkv_attention_jnp(queries, keys, values, presence)
 
-        return pallas_qkv_attention(queries, keys, values, presence)
+
+def _qkv_attention_jnp(queries, keys, values, presence):
     d_k = queries.shape[-1]
     routing = jnp.einsum("bnd,bmd->bnm", queries, keys)
     if presence is not None:
@@ -49,3 +53,30 @@ def qkv_attention(queries, keys, values, presence=None,
     routing = jax.nn.softmax(routing / jnp.sqrt(jnp.asarray(d_k, routing.dtype)),
                              axis=-1)
     return jnp.einsum("bnm,bmv->bnv", routing, values)
+
+
+@jax.custom_vjp
+def _pallas_attention_trainable(queries, keys, values, presence):
+    """Pallas forward + XLA-path backward.
+
+    The fused kernel has no hand-written VJP; since it computes exactly
+    the same function as the jnp path, the backward recomputes through
+    the jnp path's autodiff (attention here is tiny — M, N <= 64 — so
+    the recompute is cheap and the gradients are consistent)."""
+    from scae_tpu.ops.pallas_attention import pallas_qkv_attention
+
+    return pallas_qkv_attention(queries, keys, values, presence)
+
+
+def _pallas_attn_fwd(queries, keys, values, presence):
+    out = _pallas_attention_trainable(queries, keys, values, presence)
+    return out, (queries, keys, values, presence)
+
+
+def _pallas_attn_bwd(res, g):
+    queries, keys, values, presence = res
+    _, vjp = jax.vjp(_qkv_attention_jnp, queries, keys, values, presence)
+    return vjp(g)
+
+
+_pallas_attention_trainable.defvjp(_pallas_attn_fwd, _pallas_attn_bwd)

@@ -49,3 +49,32 @@ def test_padding_does_not_leak():
     want = qkv_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_use_pallas_is_trainable_with_jnp_grads():
+    """use_pallas=True must be differentiable: the custom VJP routes the
+    backward through the jnp path (ops/attention.py), so grads match the
+    plain path exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from scae_tpu.ops.attention import qkv_attention
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    q = jax.random.normal(ks[0], (2, 5, 16))
+    k = jax.random.normal(ks[1], (2, 7, 16))
+    v = jax.random.normal(ks[2], (2, 7, 8))
+    p = jax.random.uniform(ks[3], (2, 7))
+
+    def loss(use_pallas):
+        def f(q, k, v, p):
+            return jnp.sum(qkv_attention(q, k, v, p,
+                                         use_pallas=use_pallas) ** 2)
+        return jax.grad(f, argnums=(0, 1, 2, 3))(q, k, v, p)
+
+    g_ref = loss(False)
+    g_pal = loss(True)
+    for a, b in zip(g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
