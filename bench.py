@@ -40,7 +40,7 @@ SCAN_STEPS = 100       # steps fused per dispatch (amortizes link latency)
 REPEATS = 6            # timed dispatches; best-of is reported (the
                        # tunneled chip shows large run-to-run latency
                        # variance from the shared link)
-TIME_BUDGET_S = 420    # stop starting new configs after this much wall
+TIME_BUDGET_S = 640    # stop starting new configs after this much wall
 
 # v5e peak: 197 TFLOP/s bf16 / 98.5 f32 (public spec). MFU is reported
 # against bf16 peak — the honest number for a mixed bf16/f32 step.
