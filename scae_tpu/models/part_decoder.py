@@ -223,16 +223,14 @@ class TemplateBasedImageDecoder(nn.Module):
                     )
 
                     # gather needs (a) the template to fit its texel
-                    # table, (b) a real TPU (interpret mode would crawl),
-                    # (c) a single device: a pallas_call has no GSPMD
-                    # partitioning rule, so multi-chip jit+sharding runs
-                    # stay on the fully-partitionable XLA einsum path
-                    # (explicit fused_impl='gather' remains available for
-                    # callers who shard_map the step themselves)
+                    # table, (b) a real TPU (interpret mode would
+                    # crawl). Multi-device sharding is handled: the
+                    # kernel carries a batch-dim custom_partitioning
+                    # rule (pallas_decoder_ll_gather.py), so dp-sharded
+                    # jit runs execute it per-shard
                     impl = ("gather"
                             if gather_supports((Ht, Wt))
                             and jax.default_backend() == "tpu"
-                            and jax.device_count() == 1
                             else "xla")
                 if impl == "gather":
                     from scae_tpu.ops.pallas_decoder_ll_gather import (

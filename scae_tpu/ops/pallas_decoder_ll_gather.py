@@ -492,6 +492,88 @@ def _bwd_call(tab, pose_k, pres_k, tgt, gx, gy, scal, g, num, den, hwin,
 
 
 # ---------------------------------------------------------------------------
+# GSPMD/Shardy partitioning: batch-dim data parallelism for the kernel
+# ---------------------------------------------------------------------------
+# A pallas_call has no built-in partitioning rule, so inside a jit with
+# sharded inputs it would be fully replicated (or rejected). Every
+# input/output of both kernels is independent per example (grid=(B,);
+# the only cross-example reductions happen outside), so batch-dim
+# partitioning is exact: declare it via custom_partitioning, with every
+# non-batch factor marked need-replication. Each shard then runs the
+# kernel on its local batch. Validated on the virtual CPU mesh by
+# tests/test_pallas_decoder_impls.py::test_gather_partitions_over_data.
+
+from jax.experimental.custom_partitioning import (  # noqa: E402
+    custom_partitioning,
+)
+from jax.sharding import NamedSharding  # noqa: E402
+from jax.sharding import PartitionSpec as PSpec  # noqa: E402
+
+_FWD_RULE = ("b c m t, b m s, b m q, b d p, u p, u p, u w "
+             "-> b d p, b d p, b q p")
+_BWD_RULE = ("b c m t, b m s, b m q, b d p, u p, u p, u w, "
+             "b d p, b d p, b q p, b q h "
+             "-> b e f k i, b m s, b m q, b d p, b r p")
+_FWD_REPL = ("c", "m", "t", "s", "q", "d", "p", "u", "w")
+_BWD_REPL = _FWD_REPL + ("h", "e", "f", "k", "i", "r")
+
+
+def _make_partitioned(fn, batched_args, n_args, out_ndims, rule, repl):
+    fp = custom_partitioning(fn)
+
+    def partition(mesh, arg_shapes, result_shape):
+        spec0 = getattr(arg_shapes[0].sharding, "spec", None)
+        b_axis = spec0[0] if spec0 else None
+
+        def sharded(ndim, batched):
+            spec = [None] * ndim
+            if batched:
+                spec[0] = b_axis
+            return NamedSharding(mesh, PSpec(*spec))
+
+        arg_shardings = tuple(
+            sharded(len(a.shape), i in batched_args)
+            for i, a in enumerate(arg_shapes))
+        out_shardings = tuple(sharded(nd, True) for nd in out_ndims)
+
+        def lower_fn(*args):
+            return fn(*args)
+
+        return mesh, lower_fn, out_shardings, arg_shardings
+
+    fp.def_partition(partition=partition, sharding_rule=rule,
+                     need_replication_factors=repl)
+    return fp
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_calls(M, C, Ht, Wt, H, W):
+    P = H * W
+
+    def dims_of(B):
+        return (B, M, C, Ht, Wt, H, W, P)
+
+    def fwd_fn(tab, pose_k, pres_k, tgt, gx, gy, scal):
+        return tuple(_fwd_call(tab, pose_k, pres_k, tgt, gx, gy, scal,
+                               dims_of(tab.shape[0])))
+
+    def bwd_fn(tab, pose_k, pres_k, tgt, gx, gy, scal, g, num, den,
+               hwin):
+        return tuple(_bwd_call(tab, pose_k, pres_k, tgt, gx, gy, scal,
+                               g, num, den, hwin,
+                               dims_of(tab.shape[0])))
+
+    fwd_p = _make_partitioned(fwd_fn, batched_args={0, 1, 2, 3},
+                              n_args=7, out_ndims=(3, 3, 3),
+                              rule=_FWD_RULE, repl=_FWD_REPL)
+    bwd_p = _make_partitioned(bwd_fn,
+                              batched_args={0, 1, 2, 3, 7, 8, 9, 10},
+                              n_args=11, out_ndims=(5, 3, 3, 3, 3),
+                              rule=_BWD_RULE, repl=_BWD_REPL)
+    return fwd_p, bwd_p
+
+
+# ---------------------------------------------------------------------------
 # custom_vjp + public wrapper
 # ---------------------------------------------------------------------------
 
@@ -509,7 +591,8 @@ def _core_fwd(templates, alpha_b, pose, presence, bg_value,
         templates, alpha_b, pose, presence, target, out_size)
     B, M, C, Ht, Wt, H, W, P = dims
     scal = _scalars(bg_value, bg_mixing_logit, scale)
-    ll, num, den = _fwd_call(tab, pose_k, pres_k, tgt, gx, gy, scal, dims)
+    fwd_p, _ = _partitioned_calls(M, C, Ht, Wt, H, W)
+    ll, num, den = fwd_p(tab, pose_k, pres_k, tgt, gx, gy, scal)
     res = (templates, alpha_b, pose, presence, bg_value, bg_mixing_logit,
            scale, target, num, den)
     return ll.reshape(B, C, H, W), res
@@ -525,8 +608,9 @@ def _core_bwd(out_size, res, g):
     scal = _scalars(bg_value, bg_mixing_logit, scale)
     g2 = g.reshape(B, C, P).astype(jnp.float32)
     hwin = _row_window(pose_k, Ht, H, W)
-    gT, gpose, gpres, gtgt, grow = _bwd_call(
-        tab, pose_k, pres_k, tgt, gx, gy, scal, g2, num, den, hwin, dims)
+    _, bwd_p = _partitioned_calls(M, C, Ht, Wt, H, W)
+    gT, gpose, gpres, gtgt, grow = bwd_p(
+        tab, pose_k, pres_k, tgt, gx, gy, scal, g2, num, den, hwin)
 
     gT = gT.reshape(B, Ht, M, CC, Wt).transpose(0, 2, 3, 1, 4)
     g_templates = gT[:, :, :C]

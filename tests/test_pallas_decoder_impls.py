@@ -10,6 +10,7 @@ path this test compares against.
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import pytest
 
 from scae_tpu.ops.decoder_ll import fused_decoder_ll
@@ -99,3 +100,41 @@ def test_gather_extreme_poses_match_xla():
     ll_ref = fused_decoder_ll(*args, (H, W), jnp.float32)
     ll_new = pallas_decoder_ll_gather(*args, (H, W))
     assert float(jnp.max(jnp.abs(ll_ref - ll_new))) < 1e-4
+
+
+def test_gather_partitions_over_data():
+    """The gather kernel's custom_partitioning: under a jit with
+    batch-sharded inputs on a ('data',) mesh, values and gradients must
+    match the single-device run exactly (each shard runs the kernel on
+    its local batch; all math is per-example)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    B, M, C, Ht, Wt, H, W = 8, 16, 1, 11, 11, 40, 40
+    args = _inputs(jax.random.PRNGKey(7), B, M, C, Ht, Wt, H, W)
+
+    def loss(*a):
+        return jnp.sum(pallas_decoder_ll_gather(*a, (H, W)) ** 2)
+
+    vg = jax.jit(jax.value_and_grad(loss, argnums=(0, 2, 3)))
+    v_ref, g_ref = vg(*args)
+
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest provides an 8-device CPU mesh"
+    mesh = Mesh(np.array(devs[:8]), ("data",))
+    batched = lambda x: NamedSharding(  # noqa: E731
+        mesh, P(*(("data",) + (None,) * (x.ndim - 1))))
+
+    sharded_args = []
+    for i, a in enumerate(args):
+        a = jnp.asarray(a)
+        if a.ndim and a.shape[0] == B:
+            sharded_args.append(jax.device_put(a, batched(a)))
+        else:
+            sharded_args.append(
+                jax.device_put(a, NamedSharding(mesh, P())))
+    v_dp, g_dp = vg(*sharded_args)
+
+    np.testing.assert_allclose(float(v_ref), float(v_dp), rtol=1e-6)
+    for a, b in zip(g_ref, g_dp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

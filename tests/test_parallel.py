@@ -109,6 +109,44 @@ def test_dp_matches_single_device_loss():
     np.testing.assert_allclose(loss_dp, loss_single, rtol=1e-5)
 
 
+def test_dp_train_step_with_gather_kernel():
+    """Full dp-sharded TRAIN step with fused_impl='gather': the kernel's
+    batch-dim custom_partitioning must produce the same loss and updated
+    params as the single-device run (interpret mode on the CPU mesh)."""
+    model = make_scae(dict(
+        image_shape=(1, 24, 24),
+        n_classes=10,
+        n_part_caps=8,
+        n_obj_caps=4,
+        pcae_cnn_encoder_params=dict(out_channels=[16] * 4),
+        pcae_template_generator_params=dict(template_size=(6, 6)),
+        pcae_decoder_params=dict(fused_impl="gather"),
+        ocae_encoder_set_transformer_params=dict(dim_hidden=8, dim_out=16),
+        ocae_decoder_capsule_params=dict(dim_caps=8, hidden_sizes=(16,)),
+        scae_params=dict(reconstruct_alternatives=False),
+    ))
+    tx = make_optimizer("adam", 1e-4, batch_size=16)
+    batch = _batch(16)
+    state = create_train_state(model, tx, batch, jax.random.PRNGKey(0))
+
+    step_single = make_train_step(model, tx)
+    s1, m1 = step_single(state, batch)
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    step_dp = make_train_step(model, tx, mesh=mesh)
+    state2 = create_train_state(model, tx, batch, jax.random.PRNGKey(0))
+    batch_sharded = jax.device_put(batch, batch_sharding(mesh))
+    state2 = jax.device_put(state2, replicate_sharding(mesh))
+    with mesh:
+        s2, m2 = step_dp(state2, batch_sharded)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(s1.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(s2.params))):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
     n = min(8, len(jax.devices()))
