@@ -16,8 +16,10 @@ Env knobs:
   SCAE_BENCH_IMPL=auto|xla|pallas|gather
       fused decoder-ll implementation. Default 'auto' = the gather
       kernel (exact 4-tap warp, tools/ab_banded_ll.py: 2.4x over the
-      dense kernels) where the template fits its 128-texel table, XLA
-      einsum path otherwise.
+      dense kernels) where the template fits a 256-texel table (TBL_MAX
+      in pallas_decoder_ll_gather.py; >128 texels use the two-vreg
+      gather+select path the svhn/cifar configs rely on), XLA einsum
+      path otherwise.
   SCAE_BENCH_FLAGSHIP_ONLY=1   skip the staged configs
 
 MFU accounting: flops/step comes from XLA's cost analysis of the

@@ -19,8 +19,12 @@ the warp is
 with h0 = floor(iy), w0 = floor(ix) and fractional weights — 4 gathers
 + ~10 FMAs per (m, p) plane per channel, no row loop, no banding, no
 capsule sorting. Out-of-template taps get zero weight (masked), which
-reproduces grid_sample's zero padding exactly; the formulation is
-EXACT f32 bilinear (better precision than the bf16-tap XLA path).
+reproduces grid_sample's zero padding exactly; the FORWARD is EXACT f32
+bilinear (better precision than the bf16-tap XLA path). Precision is
+asymmetric: the backward's template/alpha-gradient MXU contractions cast
+operands to MXU_DTYPE (bf16, mirroring the XLA path's bf16 taps), which
+is why grad-parity tests carry a ~3e-2 relative tolerance; set
+MXU_DTYPE = jnp.float32 for strict-f32 gradients at ~2x gT cost.
 
 The backward reuses the same gathered texels for the coordinate
 gradients (dV/dix = sum_a wy_a * (T~[a,1] - T~[a,0]), etc.); only the

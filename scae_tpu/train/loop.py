@@ -96,7 +96,8 @@ class Trainer:
 
         aug = trainer_cfg.get("augment") or {}
         model_hw = cfg["model"]["image_shape"][-1]
-        self.canvas = aug.get("canvas") or model_hw
+        _canvas = aug.get("canvas")
+        self.canvas = model_hw if _canvas is None else _canvas
         if self.canvas != model_hw:
             raise ValueError(
                 f"trainer.augment.canvas={self.canvas} but the model "
@@ -275,6 +276,29 @@ class Trainer:
         t0 = time.time()
         global_step = int(state.step)
         stop = False
+
+        # Double-buffered logging: chunk k+1 is dispatched BEFORE chunk
+        # k's metrics are pulled to the host, so the device never idles
+        # on the (tunneled) log round-trip. `pending` holds the
+        # not-yet-synced chunk's device metrics.
+        pending = None  # (step_after_chunk, device_metrics, k)
+
+        def flush_pending():
+            nonlocal pending, t0
+            if pending is None:
+                return
+            p_step, p_metrics, p_k = pending
+            pending = None
+            # log the chunk's last step (means available in the stack);
+            # this device_get is the only host sync in the hot loop
+            host = jax.device_get(
+                jax.tree.map(lambda m: m[-1], p_metrics))
+            rate = p_k * self.batch_size / max(time.time() - t0, 1e-9)
+            t0 = time.time()
+            self.writer.scalars(p_step,
+                                {**host, "images_per_sec": rate,
+                                 "learning_rate": self.lr_at(p_step)})
+
         # epoch and intra-epoch position derive from the restored step, so
         # a resumed run consumes exactly the indices a never-interrupted
         # run would (deterministic resume; perm seeded by absolute epoch)
@@ -291,7 +315,7 @@ class Trainer:
             if n_steps <= 0:
                 stop = True
             while i < n_steps:
-                self.profiler.maybe_start(global_step)
+                profiling = self.profiler.maybe_start(global_step)
                 k = min(log_every, n_steps - i)
                 idxs = jnp.asarray(
                     perm[i * self.batch_size:(i + k) * self.batch_size]
@@ -299,19 +323,17 @@ class Trainer:
                 state, metrics = self.train_scan(state, device_data, idxs)
                 i += k
                 global_step += k
-                # log the chunk's last step (means available in the stack)
-                metrics = jax.device_get(
-                    jax.tree.map(lambda m: m[-1], metrics))
-                rate = k * self.batch_size / max(time.time() - t0, 1e-9)
-                t0 = time.time()
-                self.writer.scalars(global_step,
-                                    {**metrics, "images_per_sec": rate,
-                                     "learning_rate":
-                                     self.lr_at(global_step)})
-                self.profiler.maybe_stop(global_step)
+                flush_pending()  # sync chunk k-1 while chunk k computes
+                pending = (global_step, metrics, k)
+                if profiling:
+                    # profiler brackets must not bleed into the next
+                    # dispatch: sync this chunk before stopping the trace
+                    flush_pending()
+                    self.profiler.maybe_stop(global_step)
                 if max_steps is not None and global_step >= max_steps:
                     stop = True
                     break
+            flush_pending()  # epoch boundary: eval/ckpt need clean timing
 
             if (epoch + 1) % trainer_cfg.get("eval_every_epochs", 1) == 0 \
                     or stop:

@@ -1,10 +1,15 @@
-"""Metrics/observability: JSONL scalars + PNG image grids + profiler hooks.
+"""Metrics/observability: JSONL scalars + PNG image grids + TensorBoard
+events + profiler hooks.
 
 Replaces the reference's Lightning/TensorBoard logging (scalar loss-term
 dict per step, lr per epoch, three image grids per val epoch —
-base_experiment.py:98-126,145-182) with a dependency-free writer:
+base_experiment.py:98-126,145-182) with a dependency-light writer:
   * scalars appended to <dir>/metrics.jsonl (one JSON object per event)
   * image grids written as PNGs under <dir>/images/
+  * the same scalars/grids mirrored to TensorBoard event files under
+    <dir>/tb/ when torch.utils.tensorboard is importable (it is in this
+    image) — drop-in comparable with the reference's TB logs; silently
+    skipped otherwise so the core writer stays dependency-free
   * optional jax.profiler trace capture around chosen steps
 
 The loss-term names match the reference exactly (rec_ll_loss,
@@ -22,13 +27,28 @@ import numpy as np
 from scae_tpu.utils.png import make_grid, write_png
 
 
+def _make_tb_writer(log_dir: str):
+    """TensorBoard SummaryWriter if available; None otherwise."""
+    if os.environ.get("SCAE_TPU_NO_TENSORBOARD"):
+        return None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+    except Exception:
+        return None
+    try:
+        return SummaryWriter(os.path.join(log_dir, "tb"))
+    except Exception:
+        return None
+
+
 class MetricsWriter:
-    def __init__(self, log_dir: str):
+    def __init__(self, log_dir: str, tensorboard: bool = True):
         self.log_dir = log_dir
         self.image_dir = os.path.join(log_dir, "images")
         os.makedirs(self.image_dir, exist_ok=True)
         self._f = open(os.path.join(log_dir, "metrics.jsonl"), "a",
                        buffering=1)
+        self._tb = _make_tb_writer(log_dir) if tensorboard else None
 
     def scalars(self, step: int, values: Dict[str, float],
                 prefix: str = "") -> None:
@@ -36,6 +56,10 @@ class MetricsWriter:
         for k, v in values.items():
             rec[f"{prefix}{k}"] = float(np.asarray(v))
         self._f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            for k, v in rec.items():
+                if k not in ("step", "time"):
+                    self._tb.add_scalar(k, v, global_step=int(step))
 
     def images(self, step: int, name: str, batch_nchw,
                n_cols: int = 8) -> None:
@@ -43,9 +67,18 @@ class MetricsWriter:
         grid = make_grid(np.asarray(batch_nchw), n_cols=n_cols)
         write_png(os.path.join(self.image_dir,
                                f"{name}_step{int(step):08d}.png"), grid)
+        if self._tb is not None:
+            # grid is (H, W) or (H, W, C) float/uint8; TB wants HWC
+            g = np.asarray(grid)
+            if g.ndim == 2:
+                g = g[..., None]
+            self._tb.add_image(name, g, global_step=int(step),
+                               dataformats="HWC")
 
     def close(self):
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 class Profiler:
@@ -57,12 +90,15 @@ class Profiler:
         self.end_step = start_step + n_steps
         self._active = False
 
-    def maybe_start(self, step: int):
+    def maybe_start(self, step: int) -> bool:
+        """Returns True while the trace is active (the train loop then
+        syncs each chunk eagerly so traces don't bleed across chunks)."""
         if step == self.start_step and not self._active:
             import jax
             os.makedirs(self.trace_dir, exist_ok=True)
             jax.profiler.start_trace(self.trace_dir)
             self._active = True
+        return self._active
 
     def maybe_stop(self, step: int):
         if self._active and step >= self.end_step:

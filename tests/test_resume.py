@@ -43,6 +43,22 @@ def _run(tmp_path, tag, max_steps, resume=False):
     from scae_tpu.train.loop import Trainer
     import scae_tpu.train.data as data_lib
 
+    class RecordingTrainer(Trainer):
+        """Records the exact per-step batch-index stream fed to the
+        jitted scan, so data order can be asserted bit-exactly,
+        independent of the fp-tolerance state comparison."""
+
+        def build_steps(self, steps_per_epoch):
+            super().build_steps(steps_per_epoch)
+            inner, rec = self.train_scan, []
+            self.recorded_idxs = rec
+
+            def recording_scan(state, data, idxs):
+                rec.append(np.asarray(idxs).reshape(-1))
+                return inner(state, data, idxs)
+
+            self.train_scan = recording_scan
+
     cfg = load_config("config", overrides=_OVERRIDES + [
         f"trainer.checkpoint_dir={tmp_path}/{tag}/ckpt",
         f"trainer.log_dir={tmp_path}/{tag}/logs",
@@ -55,24 +71,29 @@ def _run(tmp_path, tag, max_steps, resume=False):
 
     data_lib.load_datasets = tiny_datasets
     try:
-        trainer = Trainer(cfg)
+        trainer = RecordingTrainer(cfg)
         state = trainer.run(max_epochs=4, max_steps=max_steps,
                             resume=resume)
     finally:
         data_lib.load_datasets = orig
-    return state
+    idx_stream = (np.concatenate(trainer.recorded_idxs)
+                  if trainer.recorded_idxs else np.zeros(0, np.int32))
+    return state, idx_stream
 
 
 def test_resume_matches_uninterrupted_run(tmp_path):
     # continuous: 0 -> 6 steps (128 examples / bs16 = 8 steps/epoch, so
     # the interruption at 3 lands mid-epoch — the hard case)
-    state_cont = _run(tmp_path, "cont", max_steps=6)
+    state_cont, idx_cont = _run(tmp_path, "cont", max_steps=6)
 
     # interrupted at 3 (checkpoint saved on stop), resumed to 6
-    _run(tmp_path, "split", max_steps=3)
-    state_res = _run(tmp_path, "split", max_steps=6, resume=True)
+    _, idx_a = _run(tmp_path, "split", max_steps=3)
+    state_res, idx_b = _run(tmp_path, "split", max_steps=6, resume=True)
 
     assert int(state_res.step) == int(state_cont.step) == 6
+    # the interrupted+resumed runs together must consume EXACTLY the
+    # index stream of the uninterrupted run (bit-exact data order)
+    np.testing.assert_array_equal(np.concatenate([idx_a, idx_b]), idx_cont)
     flat_c = jax.tree_util.tree_leaves(jax.device_get(state_cont.params))
     flat_r = jax.tree_util.tree_leaves(jax.device_get(state_res.params))
     for a, b in zip(flat_c, flat_r):
@@ -84,7 +105,7 @@ def test_resume_matches_uninterrupted_run(tmp_path):
 def test_checkpoint_roundtrip_is_bit_exact(tmp_path):
     """The Orbax save/restore itself is exact; the resume tolerance
     above exists only for scan-regrouping reassociation."""
-    state = _run(tmp_path, "bits", max_steps=3)
+    state, _ = _run(tmp_path, "bits", max_steps=3)
 
     from scae_tpu.config import load_config
     from scae_tpu.train.loop import Trainer
