@@ -69,6 +69,34 @@ def maybe_initialize_distributed() -> bool:
     return True
 
 
+def is_process_zero() -> bool:
+    """Host-side side effects (metrics, grids, checkpoints, prints) run
+    only on process 0 under a multi-process launch."""
+    return jax.process_index() == 0
+
+
+def make_global_array(value, mesh: Mesh, spec: "P"):
+    """Build a jax.Array with the given sharding from process-local data.
+
+    Multi-host contract: every process holds the SAME full logical value
+    (datasets and batch-index streams are derived deterministically from
+    the shared seed — train/loop.py), and each process fills only the
+    shards its local devices own, so no cross-host data movement happens.
+    Single-process: a plain device_put (placement identical, cheaper
+    dispatch).
+
+    This is the piece the reference never had: its multi-GPU story was
+    Lightning flag pass-through (mnist/train.py:40), with the DataLoader
+    already per-process. Here the global batch is assembled explicitly.
+    """
+    sharding = NamedSharding(mesh, spec)
+    arr = np.asarray(value)
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda index: arr[index])
+
+
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     """Create a (data, model) mesh. Defaults to all devices on 'data'."""

@@ -179,6 +179,49 @@ def make_train_scan(model, tx: optax.GradientTransformation,
     return jax.jit(scan_steps, **kwargs)
 
 
+def make_fused_eval_step(model, canvas: int = 0, mesh=None) -> Callable:
+    """Eval twin of make_fused_train_step, multi-host ready:
+    (params, data, idx) -> metrics.
+
+    data: the full eval split as (globally replicated) device arrays;
+    idx: (B,) int32 batch indices sharded over 'data'. The step gathers
+    the batch, decodes uint8 -> f32, center-pads to `canvas`, and
+    computes the loss terms — so eval feeds the same way as training
+    and works unchanged under a multi-process mesh (the host never
+    builds a per-batch array, only the tiny index vector).
+    """
+    from scae_tpu.train.data import pad_to_canvas
+
+    def eval_step(params, data, idx):
+        images = jnp.take(data["image"], idx, axis=0)
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
+        if images.ndim == 3:
+            images = images[:, None]
+        elif images.shape[-1] in (1, 3, 4):
+            images = jnp.transpose(images, (0, 3, 1, 2))
+        if canvas and images.shape[-1] != canvas:
+            images = pad_to_canvas(images, canvas)
+        batch = {"image": images,
+                 "label": jnp.take(data["label"], idx, axis=0)}
+        res = model.apply({"params": params}, batch["image"],
+                          deterministic=True)
+        loss, log = model.loss(res, batch["image"], batch["label"])
+        metrics = dict(log)
+        metrics["loss"] = loss
+        if model.n_classes:
+            metrics["accuracy"] = model.calculate_accuracy(
+                res, batch["label"])
+        return metrics
+
+    if mesh is None:
+        return jax.jit(eval_step)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    idx_sh = NamedSharding(mesh, P("data"))
+    return jax.jit(eval_step, in_shardings=(None, None, idx_sh))
+
+
 def make_eval_step(model, mesh=None) -> Callable:
     """Jitted eval step: (params, batch) -> metrics (loss terms + accuracy)."""
 

@@ -28,13 +28,20 @@ import numpy as np
 
 from scae_tpu import factory
 from scae_tpu.optim import make_optimizer
-from scae_tpu.parallel.mesh import make_mesh
+from scae_tpu.parallel.mesh import (
+    DATA_AXIS,
+    is_process_zero,
+    make_global_array,
+    make_mesh,
+    replicate_sharding,
+)
 from scae_tpu.parallel.train_step import (
     TrainState,
     create_train_state,
-    make_eval_step,
+    make_fused_eval_step,
     make_train_scan,
 )
+from jax.sharding import PartitionSpec as P
 from scae_tpu.train import data as data_lib
 from scae_tpu.train.checkpoint import CheckpointManager
 from scae_tpu.train.metrics import (
@@ -88,7 +95,11 @@ class Trainer:
         self.batch_size = cfg["data_loader"]["batch_size"]
 
         self.log_dir = trainer_cfg.get("log_dir", "./logs")
-        self.writer = MetricsWriter(self.log_dir)
+        # TB event files only from process 0 (JSONL writes are already
+        # gated in the loop; the mirror would otherwise spawn one event
+        # file per process)
+        self.writer = MetricsWriter(self.log_dir,
+                                    tensorboard=is_process_zero())
         self.ckpt = CheckpointManager(
             trainer_cfg.get("checkpoint_dir", "./checkpoints"),
             max_to_keep=trainer_cfg.get("save_top_k", 3),
@@ -132,7 +143,9 @@ class Trainer:
         self.train_scan = make_train_scan(self.model, self.tx,
                                           augment_fn=augment,
                                           mesh=self.mesh)
-        self.eval_step = make_eval_step(self.model, mesh=self.mesh)
+        self.eval_step = make_fused_eval_step(self.model,
+                                              canvas=self.canvas,
+                                              mesh=self.mesh)
 
         # lr bookkeeping for the per-epoch log (base_experiment.py:98-104)
         lr0 = float(opt_cfg["learning_rate"])
@@ -166,34 +179,65 @@ class Trainer:
                 out[key] = int(dl[key])
         return out
 
+    def _device_eval_data(self, dataset):
+        """Eval split as (globally replicated) device arrays, cached per
+        dataset object. Multi-host: every process holds the same split
+        (derived from the shared seed), so replication is local."""
+        cache = getattr(self, "_eval_data_cache", None)
+        if cache is None:
+            cache = self._eval_data_cache = {}
+        key = id(dataset)
+        if key not in cache:
+            rep = P()
+            cache[key] = {
+                "image": make_global_array(dataset.images, self.mesh, rep),
+                "label": make_global_array(
+                    dataset.labels.astype(np.int32), self.mesh, rep),
+            }
+        return cache[key]
+
     def evaluate(self, params, dataset, seed: int = 0,
                  max_batches: Optional[int] = None):
-        # metrics stay on device until the epoch ends: one host sync per
-        # eval pass instead of one per batch (slow over a tunneled link)
-        sums, count = None, 0
-        first_batch = None
-        for i, batch in enumerate(dataset.batches(self.batch_size,
-                                                  seed=seed,
-                                                  shuffle=False)):
-            if max_batches is not None and i >= max_batches:
-                break
-            batch = self.center_pad(
-                {k: jnp.asarray(v) for k, v in batch.items()})
-            if first_batch is None:
-                first_batch = batch
-            metrics = self.eval_step(params, batch)
+        """Mean loss terms over the eval split + host images for viz.
+
+        Device-resident twin of the train path: the split lives on
+        device, only (B,) index vectors cross the host boundary, and
+        metrics stay on device until the pass ends (one sync per eval —
+        decisive over a tunneled link, multi-host correct by
+        construction).
+        """
+        data = self._device_eval_data(dataset)
+        n_batches = len(dataset) // self.batch_size
+        if max_batches is not None:
+            n_batches = min(n_batches, max_batches)
+        sums = None
+        for i in range(n_batches):
+            idx = make_global_array(
+                np.arange(i * self.batch_size, (i + 1) * self.batch_size,
+                          dtype=np.int32), self.mesh, P(DATA_AXIS))
+            metrics = self.eval_step(params, data, idx)
             sums = metrics if sums is None else jax.tree.map(
                 jnp.add, sums, metrics)
-            count += 1
         sums = jax.device_get(sums) if sums is not None else {}
-        means = {f"val_{k}": float(v) / max(count, 1)
+        means = {f"val_{k}": float(v) / max(n_batches, 1)
                  for k, v in sums.items()}
-        return means, first_batch
+        # viz inputs built host-side (no device round trip, works on any
+        # process count); same center-pad treatment as the eval step
+        viz = None
+        if len(dataset) and n_batches:
+            viz = np.asarray(jax.device_get(self.center_pad({
+                "image": jnp.asarray(data_lib.to_nchw_float(
+                    dataset.images[:8]))})["image"]))
+        return means, viz
 
-    def write_viz(self, step, params, batch, max_n: int = 8):
+    def write_viz(self, step, params, images, max_n: int = 8):
         # alternatives (notably the B*O-tiled per-capsule decode) are heavy;
         # only the displayed images go through the viz forward
-        images = batch["image"][:max_n]
+        images = np.asarray(images[:max_n])
+        if jax.process_count() > 1:
+            # local single-device forward on host-pulled replicated params:
+            # grids are a process-0 side effect, not a collective
+            params = jax.device_get(params)
         if not hasattr(self, "_viz_apply"):
             self._viz_apply = jax.jit(
                 lambda p, x: self.viz_model.apply({"params": p}, x))
@@ -259,18 +303,26 @@ class Trainer:
         state = self.init_state(seed)
         if resume and self.ckpt.latest_step is not None:
             state = self.ckpt.restore(state)
-            # restored arrays are committed to a single device; re-place
-            # them replicated on the mesh or the sharded train step sees
-            # incompatible devices (caught by tests/test_resume.py)
-            from scae_tpu.parallel.mesh import replicate_sharding
-
-            state = jax.device_put(state, replicate_sharding(self.mesh))
             print(f"[scae_tpu] resumed from step {int(state.step)}")
+        if jax.process_count() > 1 or resume:
+            # init/restore produce process-local single-device arrays;
+            # re-place them as (globally) replicated mesh arrays or the
+            # sharded train step sees incompatible devices. Multi-host:
+            # every process inits identically from the shared seed, so
+            # replication is purely local (no broadcast needed).
+            if jax.process_count() > 1:
+                state = jax.tree.map(
+                    lambda x: make_global_array(jax.device_get(x),
+                                                self.mesh, P()), state)
+            else:
+                state = jax.device_put(state,
+                                       replicate_sharding(self.mesh))
 
         # dataset lives on device; per chunk only a (K, B) index array moves
         device_data = {
-            "image": jnp.asarray(train_ds.images),  # uint8, decoded on device
-            "label": jnp.asarray(train_ds.labels.astype(np.int32)),
+            "image": make_global_array(train_ds.images, self.mesh, P()),
+            "label": make_global_array(train_ds.labels.astype(np.int32),
+                                       self.mesh, P()),
         }
 
         t0 = time.time()
@@ -295,9 +347,10 @@ class Trainer:
                 jax.tree.map(lambda m: m[-1], p_metrics))
             rate = p_k * self.batch_size / max(time.time() - t0, 1e-9)
             t0 = time.time()
-            self.writer.scalars(p_step,
-                                {**host, "images_per_sec": rate,
-                                 "learning_rate": self.lr_at(p_step)})
+            if is_process_zero():
+                self.writer.scalars(p_step,
+                                    {**host, "images_per_sec": rate,
+                                     "learning_rate": self.lr_at(p_step)})
 
         # epoch and intra-epoch position derive from the restored step, so
         # a resumed run consumes exactly the indices a never-interrupted
@@ -317,9 +370,10 @@ class Trainer:
             while i < n_steps:
                 profiling = self.profiler.maybe_start(global_step)
                 k = min(log_every, n_steps - i)
-                idxs = jnp.asarray(
+                idxs = make_global_array(
                     perm[i * self.batch_size:(i + k) * self.batch_size]
-                    .astype(np.int32).reshape(k, self.batch_size))
+                    .astype(np.int32).reshape(k, self.batch_size),
+                    self.mesh, P(None, DATA_AXIS))
                 state, metrics = self.train_scan(state, device_data, idxs)
                 i += k
                 global_step += k
@@ -337,15 +391,21 @@ class Trainer:
 
             if (epoch + 1) % trainer_cfg.get("eval_every_epochs", 1) == 0 \
                     or stop:
-                val_metrics, viz_batch = self.evaluate(
+                val_metrics, viz_images = self.evaluate(
                     state.params, val_ds,
                     max_batches=trainer_cfg.get("max_eval_batches"))
-                self.writer.scalars(global_step, val_metrics)
-                if viz_batch is not None:
-                    self.write_viz(global_step, state.params, viz_batch)
-                self.ckpt.save(global_step, jax.device_get(state),
-                               metrics={"loss":
-                                        val_metrics.get("val_loss", 0.0)})
+                if is_process_zero():
+                    # grids/scalars are process-0 side effects
+                    self.writer.scalars(global_step, val_metrics)
+                    if viz_images is not None:
+                        self.write_viz(global_step, state.params,
+                                       viz_images)
+                # every process participates in the save (Orbax
+                # coordinates multi-process writes internally; the
+                # host tree is replicated so the primary writes it all)
+                self.ckpt.save(
+                    global_step, jax.device_get(state),
+                    metrics={"loss": val_metrics.get("val_loss", 0.0)})
                 # keep images_per_sec clean: don't charge eval/ckpt wall
                 # time to the next train chunk
                 t0 = time.time()
