@@ -59,6 +59,17 @@ TBL_MAX = 256       # two-vreg tables: gather each half, select on idx
 MXU_DTYPE = jnp.bfloat16
 _MXU_PREC = jax.lax.Precision.DEFAULT
 
+# template-gradient contraction strategy (see _bwd_kernel):
+#   'fullwidth'    — per-row (CC*M, P) @ (P, Wt*M): M-times cross-capsule
+#       waste, Ht issues, corner-bound row skipping (the shipping default)
+#   'grouped_rows' — one (Ht*CC*G8, P) @ (P, Wt*G8) matmul per capsule
+#       group: 8x waste, G issues. WARNING: wedges the Mosaic compiler
+#       for >20 min at the flagship shape (unbounded compile on the big
+#       unrolled concat+matmul body) — opt-in for experiments only.
+import os as _os
+
+GT_MODE = _os.environ.get("SCAE_TPU_GT_MODE", "fullwidth")
+
 # perf-probe hook (tools/probe_gather_bwd.py): backward sections to skip
 # when timing phase costs. Never set in production.
 _DEBUG_SKIP = frozenset()
@@ -348,12 +359,57 @@ def _bwd_kernel(tab_ref, pose_ref, pres_ref, tgt_ref, gx_ref, gy_ref,
     if "gT" in _DEBUG_SKIP:
         return
 
-    # single full-width matmul per row: Z (CC*M, P) @ R^T (P, Wt*M),
-    # m-diagonal extracted by a mask + one-hot collapse. The per-group
-    # variant (5 matmuls of (16, P)@(P, 88) per row) measured 1.55 ms of
-    # a 3.0 ms backward — MXU issue/utilization bound, not FLOPs bound
-    # (tools/probe_gather_bwd.py).
     M = G * G8
+    if GT_MODE == "grouped_rows":
+        # Round-3 formulation. gT[m,cc,h,w] = sum_p gval[cc,m,p] *
+        # wy_h[m,p] * wx_w[m,p]. The masked-MXU contraction pays for
+        # cross-capsule products it throws away: full-width (one
+        # (CC*M, P) @ (P, Wt*M) per row) wastes M=40x, measured 1.55 ms.
+        # Instead, batch ALL rows and channels of one GROUP of G8=8
+        # capsules into a single matmul:
+        #     Z_g (Ht*CC*G8, P) @ R_g^T (P, Wt*G8) -> (Ht*CC*G8, Wt*G8)
+        # waste is G8=8x, tiles are MXU-sized (176x1600x88 at the
+        # flagship shape), and there are G=5 matmul issues total instead
+        # of Ht per-row issues. The in-group m-diagonal is extracted by
+        # the same mask + one-hot collapse as before.
+        rows = Ht * CC * G8
+        cols = Wt * G8
+        r_m = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) % G8
+        c_m = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1) % G8
+        Dm = (r_m == c_m).astype(jnp.float32)
+        e_w = jax.lax.broadcasted_iota(jnp.int32, (cols, Wt), 0) // G8
+        e_w2 = jax.lax.broadcasted_iota(jnp.int32, (cols, Wt), 1)
+        Em = (e_w == e_w2).astype(MXU_DTYPE)
+        gvals = [gV[cc] if cc < C else gmix for cc in range(CC)]
+        for gi in range(G):
+            sl = slice(gi * G8, (gi + 1) * G8)
+            iy_g = iy[sl]
+            ix_g = ix[sl]
+            g_g = [gvals[cc][sl] for cc in range(CC)]
+            Z = jnp.concatenate(
+                [g_g[cc] * _tap(iy_g, float(h))
+                 for h in range(Ht) for cc in range(CC)],
+                axis=0).astype(MXU_DTYPE)               # (Ht*CC*G8, P)
+            Rg = jnp.concatenate(
+                [_tap(ix_g, float(w)) for w in range(Wt)],
+                axis=0).astype(MXU_DTYPE)               # (Wt*G8, P)
+            Gm = jax.lax.dot_general(
+                Z, Rg, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_MXU_PREC)                    # (rows, cols)
+            GT = jax.lax.dot_general(
+                (Gm * Dm).astype(MXU_DTYPE), Em, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_MXU_PREC)                    # (rows, Wt)
+            for h in range(Ht):
+                gT_ref[0, h, gi] = jnp.concatenate(
+                    [GT[(h * CC + cc) * G8:(h * CC + cc + 1) * G8]
+                     for cc in range(CC)], axis=1)
+        return
+
+    # legacy full-width row loop (kept for A/B): one (CC*M, P) @
+    # (P, Wt*M) per template row, m-diagonal by mask + one-hot collapse;
+    # rows outside the global corner-bound window are skipped
     wxp = [_tap(ix, float(w)) for w in range(Wt)]   # (M, P) tap planes
     R = jnp.concatenate(wxp, axis=0).astype(MXU_DTYPE)      # (Wt*M, P)
     r_m = jax.lax.broadcasted_iota(jnp.int32, (CC * M, Wt * M), 0) % M

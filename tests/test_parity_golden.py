@@ -147,6 +147,93 @@ def test_part_decoder_golden():
     close(dres.pdf.mode(), g["mode"], atol=1e-5)
 
 
+def test_part_decoder_color_golden():
+    """C=3 path: color MLP (reference part_decoder.py:71-105), color
+    decoder + GMM — previously covered only by self-consistency tests
+    (VERDICT round-2 missing item 3)."""
+    from scae_tpu.models.part_decoder import (TemplateBasedImageDecoder,
+                                              TemplateGenerator)
+    g, sd = load("part_decoder_color")
+    gen_sd = {k[4:]: v for k, v in sd.items() if k.startswith("gen.")}
+    dec_sd = {k[4:]: v for k, v in sd.items() if k.startswith("dec.")}
+
+    gen = TemplateGenerator(n_templates=6, n_channels=3, template_size=(5, 5),
+                            template_nonlin="sigmoid", dim_feature=5,
+                            colorize_templates=True, color_nonlin="sigmoid")
+    dec = TemplateBasedImageDecoder(n_templates=6, template_size=(5, 5),
+                                    output_size=(12, 12),
+                                    learn_output_scale=True,
+                                    use_alpha_channel=True,
+                                    background_value=True)
+    gen_params = torch_port.port_template_generator(gen_sd)
+    dec_params = torch_port.port_template_decoder(dec_sd)
+
+    tres = gen.apply({"params": gen_params},
+                     feature=jnp.asarray(g["feature"]))
+    close(tres.raw_templates, g["raw_templates"])
+    close(tres.templates, g["templates"], atol=1e-5)
+
+    dres = dec.apply({"params": dec_params}, tres.templates,
+                     jnp.asarray(g["pose"]), jnp.asarray(g["presence"]))
+    close(dres.transformed_templates, g["transformed_templates"], atol=1e-5)
+    want_mix = g["mixing_logits"]
+    got_mix = np.broadcast_to(np.asarray(dres.mixing_logits), want_mix.shape)
+    close(got_mix, want_mix, atol=1e-4)
+    close(dres.pdf.log_prob(jnp.asarray(g["target"])), g["ll"], atol=1e-4)
+    close(dres.pdf.mode(), g["mode"], atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def scae_color_golden():
+    from scae_tpu.factory import make_scae
+    g, sd = load("scae_color")
+    model = make_scae(dict(
+        image_shape=(3, 24, 24), n_classes=10,
+        n_part_caps=8, n_obj_caps=6,
+        pcae_cnn_encoder_params=dict(out_channels=[32] * 4),
+        pcae_encoder_params=dict(noise_scale=0.0),
+        pcae_template_generator_params=dict(template_size=(6, 6)),
+        ocae_decoder_capsule_params=dict(noise_type=None, noise_scale=0.0),
+        scae_params=dict(reconstruct_alternatives=True,
+                         compat_posterior_cls_bug=True,
+                         compat_posterior_gate_bug=True),
+    ))
+    params = torch_port.port_scae(sd, n_obj_caps=6)
+    res = model.apply({"params": params}, jnp.asarray(g["img"]))
+    return g, model, res
+
+
+@pytest.mark.slow
+def test_scae_color_forward_golden(scae_color_golden):
+    g, model, res = scae_color_golden
+    close(res.part_pose, g["part_pose"], atol=1e-5)
+    close(res.part_presence, g["part_presence"], atol=1e-5)
+    close(res.obj.caps_presence, g["caps_presence"], atol=1e-4)
+    close(res.obj.vote, g["vote"], atol=1e-3)
+    close(res.obj.log_prob, g["log_prob"], rtol=1e-3)
+    close(res.obj.winner, g["winner"], atol=1e-3)
+    close(res.obj.soft_winner, g["soft_winner"], atol=1e-3)
+    B = g["img"].shape[0]
+    rec_ll = jnp.mean(jnp.sum(
+        res.rec.pdf.log_prob(jnp.asarray(g["img"])).reshape(B, -1), -1))
+    close(rec_ll, g["rec_mean_ll"], rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_scae_color_loss_golden(scae_color_golden):
+    g, model, res = scae_color_golden
+    loss, log = model.loss(res, jnp.asarray(g["img"]),
+                           jnp.asarray(g["label"]))
+    close(loss, g["loss"], rtol=1e-3)
+    for k, v in g.items():
+        if k.startswith("log/"):
+            name = k[4:]
+            assert name in log, name
+            close(log[name], v, rtol=2e-3, atol=1e-4)
+    close(model.calculate_accuracy(res, jnp.asarray(g["label"])),
+          g["accuracy"])
+
+
 def test_object_decoder_golden():
     from scae_tpu.models.object_decoder import (CapsuleLayer,
                                                 CapsuleObjectDecoder)

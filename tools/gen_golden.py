@@ -288,6 +288,95 @@ def gen_scae():
          **prefixed(flat_sd(scae)))
 
 
+# ---------------------------------------------- 10b. color (C=3) goldens
+def gen_part_decoder_color():
+    """C=3 path: per-capsule color MLP driven by special features
+    (reference part_decoder.py:71-105) + 3-channel decoder/GMM."""
+    from torch_scae.part_decoder import (TemplateBasedImageDecoder,
+                                         TemplateGenerator)
+    torch.manual_seed(61)
+    np.random.seed(61)
+    M, C, TS, OS = 6, 3, (5, 5), (12, 12)
+    gen = TemplateGenerator(n_templates=M, n_channels=C, template_size=TS,
+                            template_nonlin='sigmoid', dim_feature=5,
+                            colorize_templates=True, color_nonlin='sigmoid')
+    dec = TemplateBasedImageDecoder(n_templates=M, template_size=TS,
+                                    output_size=OS, learn_output_scale=True,
+                                    use_alpha_channel=True,
+                                    background_value=True)
+    gen.eval(), dec.eval()
+    with torch.no_grad():
+        dec.templates_alpha.uniform_(-1, 1)
+        dec.bg_mixing_logit.fill_(0.3)
+        dec.bg_value.fill_(-0.2)
+
+    g = torch.Generator().manual_seed(62)
+    feature = torch.randn(3, M, 5, generator=g)
+    pose6 = torch.randn(3, M, 6, generator=g) * 0.3 \
+        + torch.tensor([1.0, 0, 0, 0, 1.0, 0])
+    presence = torch.rand(3, M, generator=g)
+    target = torch.rand(3, C, *OS, generator=g)
+    with torch.no_grad():
+        tres = gen(feature=feature)
+        dres = dec(templates=tres.templates, pose=pose6, presence=presence)
+        ll = dres.pdf.log_prob(target)
+        mode = dres.pdf.mode()
+    save("part_decoder_color",
+         feature=feature.numpy(), pose=pose6.numpy(),
+         presence=presence.numpy(), target=target.numpy(),
+         raw_templates=tres.raw_templates.numpy(),
+         templates=tres.templates.numpy(),
+         transformed_templates=dres.transformed_templates.numpy(),
+         mixing_logits=dres.mixing_logits.numpy(),
+         ll=ll.numpy(), mode=mode.numpy(),
+         **prefixed({**{f"gen.{k}": v for k, v in flat_sd(gen).items()},
+                     **{f"dec.{k}": v for k, v in flat_sd(dec).items()}}))
+
+
+def gen_scae_color():
+    """Full SCAE at an SVHN-ish 3x24x24 shape (color factory wiring,
+    reference factory.py:79-86 dim_in includes C*Ht*Wt)."""
+    from torch_scae.factory import make_scae
+    torch.manual_seed(63)
+    np.random.seed(63)
+    model_params = dict(
+        image_shape=(3, 24, 24), n_classes=10,
+        n_part_caps=8, n_obj_caps=6,
+        pcae_cnn_encoder_params=dict(out_channels=[32] * 4),
+        pcae_encoder_params=dict(noise_scale=0.0),
+        pcae_template_generator_params=dict(template_size=(6, 6)),
+        ocae_decoder_capsule_params=dict(noise_type=None, noise_scale=0.0),
+        scae_params=dict(reconstruct_alternatives=True),
+    )
+    scae = make_scae(model_params)
+    scae.eval()
+    g = torch.Generator().manual_seed(64)
+    img = torch.rand(3, 3, 24, 24, generator=g)
+    label = torch.tensor([2, 5, 8])
+    with torch.no_grad():
+        res = scae(img)
+        loss, log = scae.loss(res, img, label)
+        acc = scae.calculate_accuracy(res, label)
+        part_pose = scae.part_encoder(img).pose
+    save("scae_color",
+         img=img.numpy(), label=label.numpy(),
+         part_pose=part_pose.numpy(),
+         part_presence=res.part_presence.numpy(),
+         caps_presence=res.caps_presence.numpy(),
+         vote=res.vote.numpy(),
+         log_prob=np.asarray(res.log_prob.numpy()),
+         rec_mean_ll=np.asarray(
+             res.rec.pdf.log_prob(img).flatten(1).sum(-1).mean().numpy()),
+         winner=res.winner.numpy(),
+         soft_winner=res.soft_winner.numpy(),
+         prior_cls_prob=res.prior_cls_prob.numpy(),
+         posterior_cls_prob=res.posterior_cls_prob.numpy(),
+         loss=np.asarray(loss.numpy()),
+         accuracy=np.asarray(acc.numpy()),
+         **{f"log/{k}": np.asarray(v.numpy()) for k, v in log.items()},
+         **prefixed(flat_sd(scae)))
+
+
 # ------------------------------------------------------------ 11. RAdam
 def gen_radam():
     from torch_scae.optimizers import RAdam
@@ -452,6 +541,8 @@ if __name__ == "__main__":
     gen_part_decoder()
     gen_object_decoder()
     gen_scae()
+    gen_part_decoder_color()
+    gen_scae_color()
     gen_radam()
     gen_rmsprop()
     gen_train_trajectory()
