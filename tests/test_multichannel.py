@@ -44,6 +44,7 @@ def test_color_model_forward_loss_grads():
                for g in jax.tree.leaves(grads))
 
 
+@pytest.mark.slow
 def test_color_model_template_shapes():
     model = tiny_color_model()
     img = jax.random.uniform(jax.random.PRNGKey(0), (2, 3, 24, 24))

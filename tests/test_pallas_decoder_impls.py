@@ -33,15 +33,7 @@ def _inputs(key, B, M, C, Ht, Wt, H, W):
             jnp.asarray(0.7), jnp.asarray(1.0), target)
 
 
-@pytest.mark.parametrize("impl,tol", [
-    (pallas_decoder_ll_gather, 3e-2),
-    (pallas_decoder_ll_banded, 3e-2),
-])
-@pytest.mark.parametrize("shape", [
-    (2, 16, 1, 11, 11, 40, 40),   # flagship-like
-    (2, 13, 1, 5, 5, 24, 24),     # M not a multiple of 8 (pad path)
-])
-def test_value_and_grads_match_xla(impl, tol, shape):
+def _check_value_and_grads(impl, tol, shape):
     B, M, C, Ht, Wt, H, W = shape
     args = _inputs(jax.random.PRNGKey(0), *shape)
 
@@ -61,6 +53,28 @@ def test_value_and_grads_match_xla(impl, tol, shape):
         d = float(jnp.max(jnp.abs(a - b)))
         s = float(jnp.max(jnp.abs(a))) + 1e-30
         assert d / s < tol, f"grad {n}: rel err {d / s:.2e}"
+
+
+def test_gather_value_and_grads_small():
+    """Fast-core sentinel: the gather kernel's value+grad parity at a
+    small shape (interpret mode is slow; the flagship-like shapes and
+    the banded kernel run under -m slow and on real TPU via
+    tools/check_banded_ll.py)."""
+    _check_value_and_grads(pallas_decoder_ll_gather, 3e-2,
+                           (2, 8, 1, 5, 5, 16, 16))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("impl,tol", [
+    (pallas_decoder_ll_gather, 3e-2),
+    (pallas_decoder_ll_banded, 3e-2),
+])
+@pytest.mark.parametrize("shape", [
+    (2, 16, 1, 11, 11, 40, 40),   # flagship-like
+    (2, 13, 1, 5, 5, 24, 24),     # M not a multiple of 8 (pad path)
+])
+def test_value_and_grads_match_xla(impl, tol, shape):
+    _check_value_and_grads(impl, tol, shape)
 
 
 @pytest.mark.slow

@@ -33,6 +33,7 @@ def _mk_args(B, M, C, Ht, Wt, H, W, batch_alpha=False, seed=0):
             target)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize(
     "B,M,C,Ht,Wt,H,W,batch_alpha",
     [

@@ -56,6 +56,7 @@ def test_accuracy_in_unit_interval(model_and_vars):
     assert 0.0 <= acc <= 1.0
 
 
+@pytest.mark.slow
 def test_grads_flow_and_are_finite(model_and_vars):
     model, variables, img = model_and_vars
     label = jnp.arange(4) % 10
@@ -75,6 +76,7 @@ def test_grads_flow_and_are_finite(model_and_vars):
     assert total > 0
 
 
+@pytest.mark.slow
 def test_vote_and_presence_type_variants():
     img = jax.random.uniform(jax.random.PRNGKey(1), (2, 1, 28, 28))
     for vote_type, presence_type in [("enc", "enc"), ("soft", "soft"),
