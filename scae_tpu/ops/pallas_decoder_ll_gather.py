@@ -59,13 +59,19 @@ TBL_MAX = 256       # two-vreg tables: gather each half, select on idx
 MXU_DTYPE = jnp.bfloat16
 _MXU_PREC = jax.lax.Precision.DEFAULT
 
-# template-gradient contraction strategy (see _bwd_kernel):
-#   'fullwidth'    — per-row (CC*M, P) @ (P, Wt*M): M-times cross-capsule
-#       waste, Ht issues, corner-bound row skipping (the shipping default)
-#   'grouped_rows' — one (Ht*CC*G8, P) @ (P, Wt*G8) matmul per capsule
-#       group: 8x waste, G issues. WARNING: wedges the Mosaic compiler
-#       for >20 min at the flagship shape (unbounded compile on the big
-#       unrolled concat+matmul body) — opt-in for experiments only.
+# template-gradient contraction strategy (see _bwd_kernel / _gt_kernel):
+#   'split'        — the main backward emits the per-capsule upstream
+#       planes (gV/gmix) and a SECOND pallas_call with grid (B, G)
+#       contracts one capsule group per grid step:
+#       Z (Ht*CC*G8, P) @ R^T (P, Wt*G8). Cross-capsule waste is G8=8x
+#       (vs M=40x fullwidth) with MXU-sized tiles, and the kernel body
+#       stays small (one group) so Mosaic compiles it quickly.
+#   'fullwidth'    — per-row (CC*M, P) @ (P, Wt*M) inside the main
+#       backward: M-times waste, Ht issues, corner-bound row skipping.
+#   'grouped_rows' — the same group-batched contraction UNROLLED over
+#       all G groups inside the main backward. WARNING: wedges the
+#       Mosaic compiler for >1 h at the flagship shape — kept only as
+#       the documented negative result that motivated 'split'.
 import os as _os
 
 GT_MODE = _os.environ.get("SCAE_TPU_GT_MODE", "fullwidth")
@@ -258,7 +264,7 @@ def _fwd_kernel(tab_ref, pose_ref, pres_ref, tgt_ref, gx_ref, gy_ref,
 def _bwd_kernel(tab_ref, pose_ref, pres_ref, tgt_ref, gx_ref, gy_ref,
                 scal_ref, g_ref, num_ref, den_ref, hwin_ref,
                 gT_ref, gpose_ref, gpres_ref, gtgt_ref, grow_ref,
-                *, C, Ht, Wt, P, G):
+                *, C, Ht, Wt, P, G, split_gt=False):
     CC = C + 1
     G8 = GROUP
     bg_value = scal_ref[0, 0]
@@ -355,6 +361,14 @@ def _bwd_kernel(tab_ref, pose_ref, pres_ref, tgt_ref, gx_ref, gy_ref,
     c_m = jax.lax.broadcasted_iota(jnp.int32, (CC * G8, Wt * G8), 1) % G8
     D = (r_m == c_m).astype(jnp.float32)
 
+    if split_gt:
+        # 'split' mode: gT_ref is the gvmix output (CC, M, P) — the
+        # upstream planes the dedicated _gt_kernel contracts per group
+        for cc in range(CC):
+            gT_ref[0, cc] = ((gV[cc] if cc < C else gmix)
+                             .astype(gT_ref.dtype))
+        return
+
     gT_ref[0] = jnp.zeros((Ht, G, G8, CC * Wt), jnp.float32)
     if "gT" in _DEBUG_SKIP:
         return
@@ -442,6 +456,55 @@ def _bwd_kernel(tab_ref, pose_ref, pres_ref, tgt_ref, gx_ref, gy_ref,
     jax.lax.fori_loop(hwin_ref[0, 0, 0], hwin_ref[0, 0, 1], row_body, 0)
 
 
+def _gt_kernel(pose_ref, gx_ref, gy_ref, gvmix_ref, gT_ref,
+               *, C, Ht, Wt, P):
+    """Template/alpha gradient for ONE capsule group (grid = (B, G)).
+
+    gT[m,cc,h,w] = sum_p gvmix[cc,m,p] * wy_h[m,p] * wx_w[m,p], computed
+    as a single group-batched MXU contraction:
+        Z (Ht*CC*G8, P) @ R^T (P, Wt*G8)  ->  in-group m-diagonal
+    (8x cross-capsule waste vs the fullwidth row loop's M-times; the
+    body covers one group so the Mosaic compile stays small — the
+    all-groups unrolled variant wedged the compiler, see GT_MODE).
+    """
+    CC = C + 1
+    G8 = GROUP
+    pose = pose_ref[0]                      # (G8, 6)
+    gx = gx_ref[:]
+    gy = gy_ref[:]
+    ix, iy = _coords_mp(pose, gx, gy, Ht, Wt)       # (G8, P)
+
+    rows = Ht * CC * G8
+    cols = Wt * G8
+    r_m = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) % G8
+    c_m = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1) % G8
+    Dm = (r_m == c_m).astype(jnp.float32)
+    e_w = jax.lax.broadcasted_iota(jnp.int32, (cols, Wt), 0) // G8
+    e_w2 = jax.lax.broadcasted_iota(jnp.int32, (cols, Wt), 1)
+    Em = (e_w == e_w2).astype(MXU_DTYPE)
+
+    gv = [gvmix_ref[0, cc].astype(jnp.float32) for cc in range(CC)]
+    Z = jnp.concatenate(
+        [gv[cc] * _tap(iy, float(h))
+         for h in range(Ht) for cc in range(CC)],
+        axis=0).astype(MXU_DTYPE)                   # (Ht*CC*G8, P)
+    Rg = jnp.concatenate(
+        [_tap(ix, float(w)) for w in range(Wt)],
+        axis=0).astype(MXU_DTYPE)                   # (Wt*G8, P)
+    Gm = jax.lax.dot_general(
+        Z, Rg, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_MXU_PREC)                        # (rows, cols)
+    GT = jax.lax.dot_general(
+        (Gm * Dm).astype(MXU_DTYPE), Em, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_MXU_PREC)                        # (rows, Wt)
+    for h in range(Ht):
+        gT_ref[0, h, 0] = jnp.concatenate(
+            [GT[(h * CC + cc) * G8:(h * CC + cc + 1) * G8]
+             for cc in range(CC)], axis=1)
+
+
 # ---------------------------------------------------------------------------
 # pallas_call plumbing
 # ---------------------------------------------------------------------------
@@ -519,9 +582,23 @@ def _bwd_call(tab, pose_k, pres_k, tgt, gx, gy, scal, g, num, den, hwin,
     B, M, C, Ht, Wt, H, W, P = dims
     CC = C + 1
     G = M // GROUP
-    kern = functools.partial(_bwd_kernel, C=C, Ht=Ht, Wt=Wt, P=P, G=G)
+    split = GT_MODE == "split"
+    kern = functools.partial(_bwd_kernel, C=C, Ht=Ht, Wt=Wt, P=P, G=G,
+                             split_gt=split)
     row = lambda b: (b, 0, 0)  # noqa: E731
-    return pl.pallas_call(
+    if split:
+        # first output carries the upstream planes for the gT kernel
+        # (bf16: the contraction casts to MXU_DTYPE anyway)
+        first_spec = pl.BlockSpec((1, CC, M, P), lambda b: (b, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        first_shape = jax.ShapeDtypeStruct((B, CC, M, P), MXU_DTYPE)
+    else:
+        first_spec = pl.BlockSpec((1, Ht, G, GROUP, CC * Wt),
+                                  lambda b: (b, 0, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        first_shape = jax.ShapeDtypeStruct((B, Ht, G, GROUP, CC * Wt),
+                                           jnp.float32)
+    first, gpose, gpres, gtgt, grow = pl.pallas_call(
         kern,
         grid=(B,),
         in_specs=_in_specs(dims) + [
@@ -532,16 +609,14 @@ def _bwd_call(tab, pose_k, pres_k, tgt, gx, gy, scal, g, num, den, hwin,
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, Ht, G, GROUP, CC * Wt),
-                         lambda b: (b, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            first_spec,
             pl.BlockSpec((1, M, 6), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, M, 1), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C, P), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, P), row, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, Ht, G, GROUP, CC * Wt), jnp.float32),
+            first_shape,
             jax.ShapeDtypeStruct((B, M, 6), jnp.float32),
             jax.ShapeDtypeStruct((B, M, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, C, P), jnp.float32),
@@ -549,6 +624,31 @@ def _bwd_call(tab, pose_k, pres_k, tgt, gx, gy, scal, g, num, den, hwin,
         ],
         interpret=_use_interpret(),
     )(tab, pose_k, pres_k, tgt, gx, gy, scal, g, num, den, hwin)
+    if not split:
+        return first, gpose, gpres, gtgt, grow
+
+    gt_kern = functools.partial(_gt_kernel, C=C, Ht=Ht, Wt=Wt, P=P)
+    gT = pl.pallas_call(
+        gt_kern,
+        grid=(B, G),
+        in_specs=[
+            pl.BlockSpec((1, GROUP, 6), lambda b, gi: (b, gi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P), lambda b, gi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P), lambda b, gi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CC, GROUP, P), lambda b, gi: (b, 0, gi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Ht, 1, GROUP, CC * Wt),
+                               lambda b, gi: (b, 0, gi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Ht, G, GROUP, CC * Wt),
+                                       jnp.float32),
+        interpret=_use_interpret(),
+    )(pose_k, gx, gy, first)
+    return gT, gpose, gpres, gtgt, grow
 
 
 # ---------------------------------------------------------------------------
