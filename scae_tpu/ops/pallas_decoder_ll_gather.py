@@ -74,7 +74,10 @@ _MXU_PREC = jax.lax.Precision.DEFAULT
 #       the documented negative result that motivated 'split'.
 import os as _os
 
-GT_MODE = _os.environ.get("SCAE_TPU_GT_MODE", "fullwidth")
+# TPU-measured (tools/probe_gather_bwd.py / tools/ab_step_impl.py,
+# flagship shape): fullwidth decoder fwd+bwd 2.99 ms (gT 1.56);
+# split 1.98 ms -> full train step 4.36 -> 3.32 ms, 38.5k img/s/chip.
+GT_MODE = _os.environ.get("SCAE_TPU_GT_MODE", "split")
 
 # perf-probe hook (tools/probe_gather_bwd.py): backward sections to skip
 # when timing phase costs. Never set in production.
