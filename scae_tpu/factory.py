@@ -101,7 +101,6 @@ class SetTransformerConfig:
     dim_out: int = 256
     layer_norm: bool = True
     n_inducing_points: Optional[int] = None
-    use_pallas_attention: bool = False
 
     _derived = ("dim_in", "n_outputs")
 
@@ -333,7 +332,6 @@ def make_scae(model_params) -> SCAE:
         n_heads=st.n_heads,
         layer_norm=st.layer_norm,
         n_inducing_points=st.n_inducing_points,
-        use_pallas_attention=st.use_pallas_attention,
     )
 
     oc = cfg.ocae_decoder_capsule

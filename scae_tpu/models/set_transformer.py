@@ -100,7 +100,14 @@ class MAB(nn.Module):
                                   name="mqkv")(queries, keys, keys, presence)
         h = h + queries
 
-        if presence is not None:
+        # The residual re-mask zeroes absent *rows* — meaningful only in
+        # self-attention where rows == masked keys. The reference asserts
+        # presence.shape[1] == queries.shape[1] == keys.shape[1]
+        # (set_transformer.py:123-124), which makes ISAB with a presence
+        # mask impossible there (inducing-point queries != set size).
+        # Fixed here: the key mask above always applies; the row re-mask
+        # applies only when presence rows align with the queries (SAB).
+        if presence is not None and presence.shape[1] == queries.shape[1]:
             h = h * presence[..., None]
 
         if self.layer_norm:
@@ -178,8 +185,11 @@ class SetTransformer(nn.Module):
     n_heads: int
     layer_norm: bool = False
     n_inducing_points: Optional[int] = None
-    # route all attention blocks through the fused Pallas kernel
-    # (ops/pallas_attention.py); interpreter mode off-TPU
+    # Testing-only: route all attention blocks through the fused Pallas
+    # kernel (ops/pallas_attention.py). Demoted from the factory config
+    # in round 3 — TPU-measured SLOWER than XLA in every SCAE regime
+    # (flagship 0.95x, ISAB-256 0.80x; BASELINE.md). Kept so the
+    # neutrality test pins the kernel's numerics in-model.
     use_pallas_attention: bool = False
 
     @nn.compact

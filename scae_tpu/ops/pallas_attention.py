@@ -3,14 +3,20 @@
 One kernel computes softmax((Q K^T - (1-presence)*MASK)/sqrt(d)) V for a
 block of batch rows, keeping routing logits entirely in VMEM — the XLA
 path materializes the (B, N, M) routing tensor in HBM twice (logits +
-softmax). At SCAE's set sizes (M, N <= 64) the tensors are small, so this
-is an *opt-in*: ``qkv_attention(..., use_pallas=True)`` routes here, and
-``SetTransformer(use_pallas_attention=True)`` (factory knob
-``set_transformer_params.use_pallas_attention``) enables it model-wide.
-It exists as the blockwise-capable building block the survey plan calls
-for (SURVEY.md §2.3 "sequence parallel" row: the interface takes the same
-presence mask as ``qkv_attention``), sized so each (batch-block, N, M, d)
-tile fits VMEM.
+softmax). It exists as the blockwise-capable building block the survey
+plan calls for (SURVEY.md §2.3 "sequence parallel" row: the interface
+takes the same presence mask as ``qkv_attention``), sized so each
+(batch-block, N, M, d) tile fits VMEM.
+
+**Status (round 3): documented NEGATIVE result.** TPU-measured in-step
+A/B at the flagship config: 0.946x (4.27 -> 4.52 ms/step); in the
+ISAB regime it was built for (n_inducing_points=256): 0.801x. XLA's
+own fusion wins at every SCAE-relevant shape, as SURVEY §2.3 predicted
+for N <= 64 sets (op-level micro-bench through the tunneled link is
+dispatch-bound and inconclusive; the in-step numbers decide). The
+factory knob was removed; ``qkv_attention(..., use_pallas=True)`` and
+the testing-only ``SetTransformer(use_pallas_attention=...)`` flag
+remain so tests pin the kernel's numerics (BASELINE.md round-3 entry).
 
 On non-TPU backends the kernel runs in Pallas interpreter mode
 automatically (tests/test_pallas_attention.py validates numerics there);

@@ -76,3 +76,42 @@ def test_set_transformer_masked_tokens_ignored():
     x2 = x.at[:, 4:].set(100.0)
     out2 = st.apply(variables, x2, presence)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-4)
+
+def test_isab_with_presence_masks_keys():
+    """ISAB + presence: the reference's MAB asserts presence length ==
+    query count (set_transformer.py:123-124), which makes ISAB with a
+    presence mask impossible there (m inducing queries != N set size).
+    Fixed defect: the key mask applies in mab0; the residual row
+    re-mask is skipped when rows don't align. Masked tokens must not
+    influence present rows' outputs."""
+    isab = ISAB(d=16, n_heads=2, n_inducing_points=4)
+    x = jax.random.normal(jax.random.PRNGKey(10), (2, 6, 16))
+    presence = jnp.asarray([[1.0, 1.0, 1.0, 1.0, 0.0, 0.0]] * 2)
+    variables = isab.init(jax.random.PRNGKey(0), x, presence)
+    out1 = isab.apply(variables, x, presence)
+    assert out1.shape == (2, 6, 16)
+    assert np.isfinite(np.asarray(out1)).all()
+    x2 = x.at[:, 4:].set(100.0)
+    out2 = isab.apply(variables, x2, presence)
+    # present rows unchanged by mutated absent tokens (absent rows self-
+    # attend to the inducing summaries, so only their own input varies)
+    np.testing.assert_allclose(np.asarray(out1[:, :4]),
+                               np.asarray(out2[:, :4]), atol=1e-4)
+
+
+def test_full_model_isab_with_presence_trains():
+    """SetTransformer(n_inducing_points=...) composes with presence end
+    to end (the regime measured in BASELINE.md round-3 attention A/B)."""
+    st = SetTransformer(dim_in=8, dim_hidden=16, dim_out=12, n_outputs=5,
+                        n_layers=2, n_heads=2, layer_norm=True,
+                        n_inducing_points=7)
+    x = jax.random.normal(jax.random.PRNGKey(11), (2, 9, 8))
+    presence = jnp.asarray([[1.0] * 6 + [0.0] * 3] * 2)
+    variables = st.init(jax.random.PRNGKey(0), x, presence)
+
+    def loss(v):
+        return jnp.sum(st.apply(v, x, presence) ** 2)
+
+    g = jax.grad(loss)(variables)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
