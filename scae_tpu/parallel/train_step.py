@@ -222,6 +222,33 @@ def make_fused_eval_step(model, canvas: int = 0, mesh=None) -> Callable:
     return jax.jit(eval_step, in_shardings=(None, None, idx_sh))
 
 
+def make_eval_scan(model, canvas: int = 0, mesh=None) -> Callable:
+    """Whole-eval-pass twin of make_train_scan: (params, data, idxs) ->
+    metrics with idxs (K, B) and metrics leaves (K,).
+
+    One XLA program (and ONE host dispatch) per eval pass instead of K —
+    over a tunneled TPU link the per-dispatch round trip dominates an
+    eval batch's ~2 ms of compute, so this turns a multi-second eval
+    into one round trip.
+    """
+    step = make_fused_eval_step(model, canvas=canvas)
+
+    def scan_eval(params, data, idxs):
+        def body(carry, idx):
+            return carry, step(params, data, idx)
+
+        _, metrics = jax.lax.scan(body, None, idxs)
+        return metrics
+
+    kwargs = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        idx_sh = NamedSharding(mesh, P(None, "data"))
+        kwargs["in_shardings"] = (None, None, idx_sh)
+    return jax.jit(scan_eval, **kwargs)
+
+
 def make_eval_step(model, mesh=None) -> Callable:
     """Jitted eval step: (params, batch) -> metrics (loss terms + accuracy)."""
 

@@ -38,6 +38,7 @@ from scae_tpu.parallel.mesh import (
 from scae_tpu.parallel.train_step import (
     TrainState,
     create_train_state,
+    make_eval_scan,
     make_fused_eval_step,
     make_train_scan,
 )
@@ -146,6 +147,8 @@ class Trainer:
         self.eval_step = make_fused_eval_step(self.model,
                                               canvas=self.canvas,
                                               mesh=self.mesh)
+        self.eval_scan = make_eval_scan(self.model, canvas=self.canvas,
+                                        mesh=self.mesh)
 
         # lr bookkeeping for the per-epoch log (base_experiment.py:98-104)
         lr0 = float(opt_cfg["learning_rate"])
@@ -210,17 +213,17 @@ class Trainer:
         n_batches = len(dataset) // self.batch_size
         if max_batches is not None:
             n_batches = min(n_batches, max_batches)
-        sums = None
-        for i in range(n_batches):
-            idx = make_global_array(
-                np.arange(i * self.batch_size, (i + 1) * self.batch_size,
-                          dtype=np.int32), self.mesh, P(DATA_AXIS))
-            metrics = self.eval_step(params, data, idx)
-            sums = metrics if sums is None else jax.tree.map(
-                jnp.add, sums, metrics)
-        sums = jax.device_get(sums) if sums is not None else {}
-        means = {f"val_{k}": float(v) / max(n_batches, 1)
-                 for k, v in sums.items()}
+        if n_batches:
+            # one scan = one dispatch + one sync for the whole pass
+            idxs = make_global_array(
+                np.arange(n_batches * self.batch_size, dtype=np.int32)
+                .reshape(n_batches, self.batch_size),
+                self.mesh, P(None, DATA_AXIS))
+            stacked = jax.device_get(self.eval_scan(params, data, idxs))
+            means = {f"val_{k}": float(np.mean(v))
+                     for k, v in stacked.items()}
+        else:
+            means = {}
         # viz inputs built host-side (no device round trip, works on any
         # process count); same center-pad treatment as the eval step
         viz = None
@@ -369,7 +372,14 @@ class Trainer:
                 stop = True
             while i < n_steps:
                 profiling = self.profiler.maybe_start(global_step)
-                k = min(log_every, n_steps - i)
+                # Merge a small remainder into one chunk (54 steps with
+                # log_every=50 dispatches ONE 54-step scan, not 50+4):
+                # a tiny trailing chunk pays the full dispatch round
+                # trip for a few steps and halves the in-loop median
+                # over a tunneled link.
+                remaining = n_steps - i
+                k = remaining if remaining <= (log_every * 3) // 2 \
+                    else log_every
                 idxs = make_global_array(
                     perm[i * self.batch_size:(i + k) * self.batch_size]
                     .astype(np.int32).reshape(k, self.batch_size),

@@ -14,15 +14,22 @@ from tests.sample_hparams import small_model_params
 def model_and_vars():
     model = make_scae(small_model_params())
     img = jax.random.uniform(jax.random.PRNGKey(1), (4, 1, 28, 28))
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(2)},
-        img, deterministic=False)
+    variables = jax.jit(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(2)},
+            img, deterministic=False))()
     return model, variables, img
 
 
-def test_forward_shapes(model_and_vars):
+@pytest.fixture(scope="module")
+def forward_res(model_and_vars):
+    """One jitted eval-mode forward shared by the shape/loss/acc tests."""
     model, variables, img = model_and_vars
-    res = model.apply(variables, img)
+    return jax.jit(lambda v, x: model.apply(v, x))(variables, img)
+
+
+def test_forward_shapes(forward_res):
+    res = forward_res
     M, O = 16, 10
     assert res.part_pose.shape == (4, M, 6)
     assert res.part_presence.shape == (4, M)
@@ -34,9 +41,9 @@ def test_forward_shapes(model_and_vars):
     assert res.posterior_cls_prob.shape == (4, 10)
 
 
-def test_loss_and_log_terms(model_and_vars):
+def test_loss_and_log_terms(model_and_vars, forward_res):
     model, variables, img = model_and_vars
-    res = model.apply(variables, img)
+    res = forward_res
     label = jnp.arange(4) % 10
     loss, log = model.loss(res, img, label)
     assert np.isfinite(float(loss))
@@ -48,9 +55,9 @@ def test_loss_and_log_terms(model_and_vars):
         assert name in log and np.isfinite(float(log[name])), name
 
 
-def test_accuracy_in_unit_interval(model_and_vars):
+def test_accuracy_in_unit_interval(model_and_vars, forward_res):
     model, variables, img = model_and_vars
-    res = model.apply(variables, img)
+    res = forward_res
     label = jnp.arange(4) % 10
     acc = float(model.calculate_accuracy(res, label))
     assert 0.0 <= acc <= 1.0
@@ -91,9 +98,8 @@ def test_vote_and_presence_type_variants():
         assert res.rec.transformed_templates.shape == (2, 17, 1, 28, 28)
 
 
-def test_reconstruct_alternatives_populated(model_and_vars):
-    model, variables, img = model_and_vars
-    res = model.apply(variables, img)
+def test_reconstruct_alternatives_populated(forward_res):
+    res = forward_res
     # factory default reconstruct_alternatives=True (SCAE ctor :48)
     assert res.bottom_up_rec is not None
     assert res.top_down_rec is not None

@@ -102,16 +102,18 @@ def test_isab_with_presence_masks_keys():
 def test_full_model_isab_with_presence_trains():
     """SetTransformer(n_inducing_points=...) composes with presence end
     to end (the regime measured in BASELINE.md round-3 attention A/B)."""
-    st = SetTransformer(dim_in=8, dim_hidden=16, dim_out=12, n_outputs=5,
-                        n_layers=2, n_heads=2, layer_norm=True,
-                        n_inducing_points=7)
+    st = SetTransformer(dim_in=8, dim_hidden=8, dim_out=8, n_outputs=2,
+                        n_layers=1, n_heads=2, layer_norm=True,
+                        n_inducing_points=5)
     x = jax.random.normal(jax.random.PRNGKey(11), (2, 9, 8))
     presence = jnp.asarray([[1.0] * 6 + [0.0] * 3] * 2)
     variables = st.init(jax.random.PRNGKey(0), x, presence)
 
-    def loss(v):
-        return jnp.sum(st.apply(v, x, presence) ** 2)
+    @jax.jit
+    def grad(v):
+        return jax.grad(
+            lambda v: jnp.sum(st.apply(v, x, presence) ** 2))(v)
 
-    g = jax.grad(loss)(variables)
+    g = grad(variables)
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
