@@ -48,6 +48,7 @@ from scae_tpu.train.checkpoint import CheckpointManager
 from scae_tpu.train.metrics import (
     MetricsWriter,
     Profiler,
+    viz_grid_tensors,
     write_reconstruction_grids,
 )
 
@@ -242,10 +243,15 @@ class Trainer:
             # grids are a process-0 side effect, not a collective
             params = jax.device_get(params)
         if not hasattr(self, "_viz_apply"):
+            # grid tensors reduced ON DEVICE (viz_grid_tensors): pulling
+            # the raw result pytree (>100 MB flagship) dominated epoch
+            # wall time through the tunnel
             self._viz_apply = jax.jit(
-                lambda p, x: self.viz_model.apply({"params": p}, x))
-        res = self._viz_apply(params, images)
-        write_reconstruction_grids(self.writer, step, res,
+                lambda p, x: viz_grid_tensors(
+                    self.viz_model.apply({"params": p}, x),
+                    n=min(max_n, x.shape[0])))
+        viz = jax.device_get(self._viz_apply(params, images))
+        write_reconstruction_grids(self.writer, step, viz,
                                    np.asarray(images), max_n=max_n)
 
     def run_test(self):

@@ -107,24 +107,41 @@ class Profiler:
             self._active = False
 
 
-def write_reconstruction_grids(writer: MetricsWriter, step: int, res,
+def viz_grid_tensors(res, n: int):
+    """Device-side reduction of a forward result to exactly the small
+    tensors the three grids need. Runs INSIDE the jitted viz forward so
+    only ~hundreds of KB cross the host boundary — a full `res` pytree
+    (per-caps alternative decodes, mixture stats) is >100 MB at the
+    flagship shape, which dominated per-epoch wall time over a tunneled
+    TPU link."""
+    out = {
+        "rec_mode": res.rec.pdf.mode()[:n],
+        "raw_templates": res.raw_templates[0],        # (M, C, Ht, Wt)
+        "transformed_templates": res.transformed_templates[0],
+    }
+    if res.bottom_up_rec is not None:
+        out["bottom_up_mode"] = res.bottom_up_rec.pdf.mode()[:n]
+    if res.top_down_rec is not None:
+        out["top_down_mode"] = res.top_down_rec.pdf.mode()[:n]
+    return out
+
+
+def write_reconstruction_grids(writer: MetricsWriter, step: int, viz: dict,
                                images, max_n: int = 8) -> None:
     """The reference's three validation grids (base_experiment.py:152-182):
     originals + reconstruction modes (+ alternatives), raw templates,
-    transformed templates."""
-    import jax
-
-    res = jax.device_get(res)
+    transformed templates. `viz` is the host-pulled dict from
+    `viz_grid_tensors`."""
     n = min(max_n, images.shape[0])
-    rows = [np.asarray(images[:n]), np.asarray(res.rec.pdf.mode()[:n])]
-    if res.bottom_up_rec is not None:
-        rows.append(np.asarray(res.bottom_up_rec.pdf.mode()[:n]))
-    if res.top_down_rec is not None:
-        rows.append(np.asarray(res.top_down_rec.pdf.mode()[:n]))
+    rows = [np.asarray(images[:n]), np.asarray(viz["rec_mode"][:n])]
+    if "bottom_up_mode" in viz:
+        rows.append(np.asarray(viz["bottom_up_mode"][:n]))
+    if "top_down_mode" in viz:
+        rows.append(np.asarray(viz["top_down_mode"][:n]))
     writer.images(step, "reconstructions", np.concatenate(rows), n_cols=n)
 
-    raw = np.asarray(res.raw_templates)[0]  # (M, C, Ht, Wt)
+    raw = np.asarray(viz["raw_templates"])  # (M, C, Ht, Wt)
     writer.images(step, "templates", raw, n_cols=raw.shape[0])
 
-    tt = np.asarray(res.transformed_templates[0])  # (M+1, C, H, W)
+    tt = np.asarray(viz["transformed_templates"])  # (M+1, C, H, W)
     writer.images(step, "transformed_templates", tt, n_cols=tt.shape[0])
