@@ -39,7 +39,6 @@ from scae_tpu.parallel.train_step import (
     TrainState,
     create_train_state,
     make_eval_scan,
-    make_fused_eval_step,
     make_train_scan,
 )
 from jax.sharding import PartitionSpec as P
@@ -145,9 +144,6 @@ class Trainer:
         self.train_scan = make_train_scan(self.model, self.tx,
                                           augment_fn=augment,
                                           mesh=self.mesh)
-        self.eval_step = make_fused_eval_step(self.model,
-                                              canvas=self.canvas,
-                                              mesh=self.mesh)
         self.eval_scan = make_eval_scan(self.model, canvas=self.canvas,
                                         mesh=self.mesh)
 
