@@ -142,6 +142,39 @@ def synthetic_digits(n: int, seed: int = 0, size: int = 28,
     return (images * 255).astype(np.uint8), labels.astype(np.int64)
 
 
+def real_digits(size: int = 28, n_channels: int = 1, test_size: int = 297,
+                seed: int = 0) -> Tuple[np.ndarray, np.ndarray,
+                                        np.ndarray, np.ndarray]:
+    """Real handwritten digits (sklearn's bundled UCI optdigits, 1797
+    samples, 8x8) bilinearly upsampled to `size` x `size`.
+
+    The only *real* handwritten-digit data reachable in a zero-egress
+    container — the offline stand-in for the reference's torchvision MNIST
+    download (mnist/experiment.py:42-50). Returns
+    (train_images, train_labels, test_images, test_labels) as uint8.
+    """
+    from scipy import ndimage
+    from sklearn.datasets import load_digits
+
+    d = load_digits()
+    imgs = d.images.astype(np.float32) / 16.0          # (1797, 8, 8) in [0,1]
+    zoom = size / imgs.shape[-1]
+    up = ndimage.zoom(imgs, (1.0, zoom, zoom), order=1)
+    up = np.clip(up, 0.0, 1.0)
+    gray = (up * 255).astype(np.uint8)
+    labels = d.target.astype(np.int64)
+    if n_channels > 1:
+        tints = np.random.RandomState(99).uniform(
+            0.3, 1.0, size=(10, n_channels)).astype(np.float32)
+        imgs_c = up[..., None] * tints[labels][:, None, None, :]
+        gray = (np.clip(imgs_c, 0, 1) * 255).astype(np.uint8)
+    # deterministic shuffled holdout (the set is ordered by digit batches)
+    perm = np.random.RandomState(seed).permutation(len(gray))
+    gray, labels = gray[perm], labels[perm]
+    return (gray[test_size:], labels[test_size:],
+            gray[:test_size], labels[:test_size])
+
+
 def to_nchw_float(images: np.ndarray) -> np.ndarray:
     """uint8 (B, H, W) or (B, H, W, C) -> float32 (B, C, H, W) in [0,1]."""
     x = images.astype(np.float32) / 255.0
@@ -198,10 +231,23 @@ def find_npz(data_dir: Optional[str]) -> Optional[Dict[str, np.ndarray]]:
 def load_datasets(data_dir: Optional[str] = None, val_size: int = 5000,
                   synthetic_train: int = 12000, synthetic_test: int = 2000,
                   seed: int = 42, image_size: int = 28,
-                  n_channels: int = 1):
-    """(train, val, test) Datasets: npz dump > MNIST IDX > synthetic."""
-    npz = find_npz(data_dir)
-    mnist = None if npz else find_mnist(data_dir)
+                  n_channels: int = 1, source: Optional[str] = None):
+    """(train, val, test) Datasets: npz dump > MNIST IDX > synthetic.
+
+    `source` forces a specific origin: "npz"/"mnist" (must be found on
+    disk), "digits" (sklearn's real handwritten digits, no files needed),
+    or "synthetic". None keeps the on-disk-then-synthetic auto chain.
+    """
+    if source not in (None, "auto", "npz", "mnist", "digits", "synthetic"):
+        raise ValueError(f"unknown data source {source!r}")
+    want = None if source == "auto" else source
+    npz = find_npz(data_dir) if want in (None, "npz") else None
+    mnist = (None if npz else find_mnist(data_dir)) \
+        if want in (None, "mnist") else None
+    if want in ("npz", "mnist") and npz is None and mnist is None:
+        raise FileNotFoundError(
+            f"data source {want!r} requested but no files found under "
+            f"{data_dir or _SEARCH_PATHS}")
     if npz is not None:
         tr_im, tr_lb = npz["train_images"], npz["train_labels"]
         te_im, te_lb = npz["test_images"], npz["test_labels"]
@@ -210,6 +256,10 @@ def load_datasets(data_dir: Optional[str] = None, val_size: int = 5000,
         tr_im, tr_lb = mnist["train_images"], mnist["train_labels"]
         te_im, te_lb = mnist["test_images"], mnist["test_labels"]
         source = "mnist"
+    elif want == "digits":
+        tr_im, tr_lb, te_im, te_lb = real_digits(
+            size=image_size, n_channels=n_channels, seed=seed)
+        source = "digits"
     else:
         tr_im, tr_lb = synthetic_digits(synthetic_train, seed=seed,
                                         size=image_size,
@@ -220,6 +270,8 @@ def load_datasets(data_dir: Optional[str] = None, val_size: int = 5000,
         source = "synthetic"
 
     # reference: 55000/5000 random_split at seed (mnist/experiment.py:47)
+    if val_size >= len(tr_im):  # small real datasets (e.g. digits, N=1500)
+        val_size = max(len(tr_im) // 5, 1)
     rng = np.random.RandomState(seed)
     perm = rng.permutation(len(tr_im))
     val_idx, train_idx = perm[:val_size], perm[val_size:]

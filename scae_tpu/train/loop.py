@@ -265,6 +265,7 @@ class Trainer:
         train_ds, _, test_ds, source = data_lib.load_datasets(
             data_dir=cfg["data_loader"].get("data_dir"), seed=seed,
             image_size=min(h, 28 if c == 1 else h), n_channels=c,
+            source=cfg["data_loader"].get("source"),
             **self._dataset_sizes())
         steps_per_epoch = max(len(train_ds) // self.batch_size, 1)
         self.build_steps(steps_per_epoch)
@@ -298,6 +299,7 @@ class Trainer:
             seed=seed,
             image_size=min(h, 28 if c == 1 else h),
             n_channels=c,
+            source=cfg["data_loader"].get("source"),
             **self._dataset_sizes())
         print(f"[scae_tpu] dataset source: {source} "
               f"(train={len(train_ds)}, val={len(val_ds)}, "

@@ -130,3 +130,30 @@ def test_config_model_feeds_factory():
     params = prepare_model_params(**cfg["model"])
     assert params["ocae_encoder_set_transformer"]["dim_in"] == 144
     assert params["pcae_decoder"]["output_size"] == (40, 40)
+
+
+def test_real_digits_source():
+    """sklearn optdigits source: real data, deterministic, disjoint splits."""
+    tr, val, te, source = data_lib.load_datasets(source="digits", seed=7)
+    assert source == "digits"
+    assert tr.images.shape[1:] == (28, 28) and tr.images.dtype == np.uint8
+    assert len(tr) + len(val) == 1500 and len(te) == 297
+    assert len(val) == 1500 // 5  # val_size clamp for small real datasets
+    assert set(np.unique(tr.labels)) == set(range(10))
+    assert tr.images.max() > 200 and tr.images.min() == 0
+    tr2, _, te2, _ = data_lib.load_datasets(source="digits", seed=7)
+    np.testing.assert_array_equal(tr.images, tr2.images)
+    np.testing.assert_array_equal(te.labels, te2.labels)
+
+
+def test_real_digits_color_and_size():
+    tr_im, tr_lb, te_im, te_lb = data_lib.real_digits(size=32, n_channels=3)
+    assert tr_im.shape == (1500, 32, 32, 3)
+    assert te_im.shape == (297, 32, 32, 3)
+
+
+def test_source_forcing_errors():
+    with pytest.raises(ValueError):
+        data_lib.load_datasets(source="imagenet")
+    with pytest.raises(FileNotFoundError):
+        data_lib.load_datasets(source="npz", data_dir="/nonexistent-dir")
