@@ -46,9 +46,16 @@ from scae_tpu.utils.png import make_grid, write_png  # noqa: E402
 BATCH = 128
 
 
-def load_split(seed=42, n_train=12000, val_size=5000):
-    """Replicates scae_tpu.train.data.load_datasets synthetic branch."""
-    images, labels = synthetic_digits(n_train, seed=seed, size=28)
+def load_split(seed=42, n_train=12000, val_size=5000, source="synthetic"):
+    """Replicates scae_tpu.train.data.load_datasets synthetic/digits
+    branches (including the small-dataset val clamp)."""
+    if source == "digits":
+        from scae_tpu.train.data import real_digits
+        images, labels, _, _ = real_digits(size=28, seed=seed)
+    else:
+        images, labels = synthetic_digits(n_train, seed=seed, size=28)
+    if val_size >= len(images):
+        val_size = max(len(images) // 5, 1)
     perm = np.random.RandomState(seed).permutation(len(images))
     val_idx, train_idx = perm[:val_size], perm[val_size:]
     return ((images[train_idx], labels[train_idx]),
@@ -99,6 +106,10 @@ def main():
     ap.add_argument("--grid-every", type=int, default=5)
     ap.add_argument("--template-nonlin", default=None,
                     help="override template/color nonlin (e.g. relu1)")
+    ap.add_argument("--source", default="synthetic",
+                    choices=["synthetic", "digits"],
+                    help="dataset: scae_tpu synthetic strokes or sklearn "
+                         "real handwritten digits (train/data.py)")
     args = ap.parse_args()
     os.makedirs(os.path.join(args.out, "images"), exist_ok=True)
 
@@ -117,7 +128,7 @@ def main():
                               eps=1e-2 / BATCH ** 2)
     sched = torch.optim.lr_scheduler.ExponentialLR(opt, gamma=0.997)
 
-    (tr_im, tr_lb), (va_im, va_lb) = load_split()
+    (tr_im, tr_lb), (va_im, va_lb) = load_split(source=args.source)
     n_train = len(tr_im)
     steps_per_epoch = n_train // BATCH
     rng = np.random.default_rng(0)
@@ -127,8 +138,9 @@ def main():
           f"{steps_per_epoch} steps/epoch, {args.epochs} epochs",
           flush=True)
 
-    va_batch = pad_translate(va_im[:1024], rng, train=False)
-    va_lbl = torch.from_numpy(va_lb[:1024])
+    n_va = max((min(len(va_im), 1024) // BATCH) * BATCH, BATCH)
+    va_batch = pad_translate(va_im[:n_va], rng, train=False)
+    va_lbl = torch.from_numpy(va_lb[:n_va])
 
     for epoch in range(args.epochs):
         t0 = time.time()
