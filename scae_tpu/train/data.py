@@ -304,7 +304,14 @@ def random_translate(images: jax.Array, key: jax.Array,
 
     Equivalent to the reference's pad + RandomAffine(translate=pad_ratio)
     augmentation (mnist/experiment.py:27-36) but fused into the jitted
-    step: pad by max_shift then take a random dynamic slice per sample.
+    step: pad by max_shift then take a random window per sample.
+
+    The window is taken with two batched ``take_along_axis`` gathers
+    (one per spatial axis) rather than a vmapped ``dynamic_slice``:
+    the vmap lowering emitted ~5 tiny ops *per sample* per step
+    (642 ops/step at B=128, 0.2 ms/step on the TPU trace), while the
+    batched gathers are 2 ops total. Output is bit-identical —
+    ``padded[b, :, oy:oy+H, ox:ox+W]`` either way.
     """
     B, C, H, W = images.shape
     padded = jnp.pad(images, ((0, 0), (0, 0),
@@ -313,8 +320,7 @@ def random_translate(images: jax.Array, key: jax.Array,
     kx, ky = jax.random.split(key)
     ox = jax.random.randint(kx, (B,), 0, 2 * max_shift + 1)
     oy = jax.random.randint(ky, (B,), 0, 2 * max_shift + 1)
-
-    def take(img, oy, ox):
-        return jax.lax.dynamic_slice(img, (0, oy, ox), (C, H, W))
-
-    return jax.vmap(take)(padded, oy, ox)
+    rows = oy[:, None] + jnp.arange(H)  # (B, H)
+    cols = ox[:, None] + jnp.arange(W)  # (B, W)
+    out = jnp.take_along_axis(padded, rows[:, None, :, None], axis=2)
+    return jnp.take_along_axis(out, cols[:, None, None, :], axis=3)
