@@ -44,7 +44,11 @@ from scae_tpu.models.results import (
     CapsuleLikelihoodResult,
     ObjectDecoderResult,
 )
-from scae_tpu.ops.geometry import geometric_transform
+from scae_tpu.ops.geometry import (
+    affine_to_matrix,
+    compose_affines,
+    geometric_transform,
+)
 from scae_tpu.ops.gmm import normal_log_prob
 from scae_tpu.ops.math_ops import (
     cross_entropy_safe,
@@ -129,7 +133,7 @@ class CapsuleLayer(nn.Module):
 
         cpr_static = self.param("cpr_static", nn.initializers.zeros,
                                 (1, O, V, P))
-        cpr = self._make_transform(cpr_dynamic + cpr_static)  # (B,O,V,3,3)
+        cpr = self._make_transform_flat(cpr_dynamic + cpr_static)  # (B,O,V,6)
 
         # learned biases for the remaining heads (object_decoder.py:109-112)
         bias_shapes = [(1, O, *s) for s in output_shapes[1:]]
@@ -141,11 +145,20 @@ class CapsuleLayer(nn.Module):
         scale_per_vote = chunks[4] + biases[3]             # (B, O, V)
 
         if parent_transform is None:
-            cvr = self._make_transform(cvr)  # (B, O, 1, 3, 3)
+            cvr = self._make_transform_flat(cvr)  # (B, O, 1, 6)
         else:
-            cvr = parent_transform
+            # hook contract is a homogeneous matrix; drop the [0,0,1] row
+            cvr = parent_transform[..., :2, :].reshape(
+                *parent_transform.shape[:-2], 6)
 
-        vote = jnp.matmul(cvr, cpr)  # broadcasts (B,O,1,3,3)@(B,O,V,3,3)
+        # vote = OVR @ OPR (reference object_decoder.py:189-191), composed
+        # on the 6 affine coefficients (see ops.geometry.compose_affines:
+        # batched 3x3 matmuls lower to padded TPU convolutions). The
+        # homogeneous row is appended as a constant; the downstream
+        # flatten (CapsuleObjectDecoder) slices it back off, so XLA
+        # elides the concat entirely in the training graph.
+        vote = affine_to_matrix(
+            compose_affines(cvr, cpr))  # (B, O, V, 3, 3)
 
         if self.caps_dropout_rate > 0.0:
             presence_logit_per_caps = (presence_logit_per_caps
@@ -188,9 +201,9 @@ class CapsuleLayer(nn.Module):
             cpr_dynamic_reg_loss=cpr_dynamic_reg_loss,
         )
 
-    def _make_transform(self, params):
+    def _make_transform_flat(self, params):
         return geometric_transform(params, self.similarity_transform,
-                                   nonlinear=True, as_matrix=True)
+                                   nonlinear=True, as_matrix=False)
 
 
 def capsule_likelihood(vote, scale, vote_presence, dummy_vote, x,

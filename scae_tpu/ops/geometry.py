@@ -55,11 +55,39 @@ def geometric_transform(pose, similarity: bool = False, nonlinear: bool = True,
     out = jnp.concatenate(flat, axis=-1)
 
     if as_matrix:
-        mat2x3 = out.reshape(*out.shape[:-1], 2, 3)
-        last = jnp.broadcast_to(
-            jnp.asarray([0.0, 0.0, 1.0], dtype=out.dtype),
-            (*out.shape[:-1], 1, 3),
-        )
-        out = jnp.concatenate([mat2x3, last], axis=-2)
+        out = affine_to_matrix(out)
 
     return out
+
+
+def affine_to_matrix(flat: jax.Array) -> jax.Array:
+    """[..., 6] row-major 2x3 affine -> [..., 3, 3] homogeneous matrix."""
+    mat2x3 = flat.reshape(*flat.shape[:-1], 2, 3)
+    last = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 1.0], dtype=flat.dtype),
+        (*flat.shape[:-1], 1, 3),
+    )
+    return jnp.concatenate([mat2x3, last], axis=-2)
+
+
+def compose_affines(outer: jax.Array, inner: jax.Array) -> jax.Array:
+    """Compose two [..., 6] flat affines: matrix(out) = matrix(outer) @
+    matrix(inner), returned flat. Broadcasts like the matmul would.
+
+    Elementwise on the 6 coefficients instead of a [..., 3, 3] matmul:
+    XLA lowers batched 3x3 matmuls on TPU as padded convolutions with
+    layout copies on both operands (measured ~150 us/step of the OCAE
+    vote chain at the flagship shape); 12 fused multiply-adds cost
+    nothing. Same floating-point values — the matmul's extra terms
+    multiply the constant 0/1 homogeneous row.
+    """
+    a1, b1, tx1, c1, d1, ty1 = jnp.split(outer, 6, axis=-1)
+    a2, b2, tx2, c2, d2, ty2 = jnp.split(inner, 6, axis=-1)
+    return jnp.concatenate([
+        a1 * a2 + b1 * c2,
+        a1 * b2 + b1 * d2,
+        a1 * tx2 + b1 * ty2 + tx1,
+        c1 * a2 + d1 * c2,
+        c1 * b2 + d1 * d2,
+        c1 * tx2 + d1 * ty2 + ty1,
+    ], axis=-1)

@@ -42,3 +42,17 @@ def test_linear_scale_abs():
     # theta=0 => a = scale_x = |-2|+1e-2
     np.testing.assert_allclose(out[0, 0], 2.01, rtol=1e-6)
     np.testing.assert_allclose(out[0, 4], 3.01, rtol=1e-6)
+
+
+def test_compose_affines_matches_matmul():
+    """compose_affines == homogeneous 3x3 matmul, incl. broadcasting
+    (the CapsuleLayer vote shape: (B,O,1,6) outer x (B,O,V,6) inner)."""
+    from scae_tpu.ops.geometry import affine_to_matrix, compose_affines
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    outer = geometric_transform(jax.random.normal(k1, (2, 5, 1, 6)))
+    inner = geometric_transform(jax.random.normal(k2, (2, 5, 7, 6)))
+    got = affine_to_matrix(compose_affines(outer, inner))
+    want = jnp.matmul(affine_to_matrix(outer), affine_to_matrix(inner))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-7)
