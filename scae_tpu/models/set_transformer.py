@@ -43,9 +43,29 @@ class MultiHeadQKVAttention(nn.Module):
         d_k_p = -(-self.d_k // H) * H  # pad to multiple of heads
         d_v_p = -(-self.d_v // H) * H
 
-        q = TorchLinear(d_k_p, name="q_projector")(queries)
-        k = TorchLinear(d_k_p, name="k_projector")(keys)
-        v = TorchLinear(d_v_p, name="v_projector")(values)
+        # Fused projections: at these dims (d<=32, N<=64) each dot is a
+        # ~1-2 us TPU op whose issue overhead dominates — the traced set
+        # transformer was 146 ops/219 us per step. Shared-input
+        # projections merge into one matmul (same math: concatenated
+        # output columns; torch-default init depends only on fan_in, so
+        # the init distribution is unchanged). q==k==v in SAB; k==v in
+        # ISAB/PMA/the final pooling attention. torch_port concatenates
+        # the reference's separate weights to import checkpoints.
+        if queries is keys and keys is values:
+            qkv = TorchLinear(2 * d_k_p + d_v_p,
+                              name="qkv_projector")(queries)
+            q = qkv[..., :d_k_p]
+            k = qkv[..., d_k_p:2 * d_k_p]
+            v = qkv[..., 2 * d_k_p:]
+        elif keys is values:
+            q = TorchLinear(d_k_p, name="q_projector")(queries)
+            kv = TorchLinear(d_k_p + d_v_p, name="kv_projector")(keys)
+            k = kv[..., :d_k_p]
+            v = kv[..., d_k_p:]
+        else:
+            q = TorchLinear(d_k_p, name="q_projector")(queries)
+            k = TorchLinear(d_k_p, name="k_projector")(keys)
+            v = TorchLinear(d_v_p, name="v_projector")(values)
 
         B, N, _ = q.shape
         M = k.shape[1]

@@ -77,17 +77,39 @@ def _stacked_mlp(sd, prefix, n_stack, use_bias=True):
     return out
 
 
-def _mqkv(sd, prefix):
+def _lin(sd, prefix):
+    return {"kernel": _t_linear(sd[f"{prefix}.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+
+def _cat_lins(*lins):
+    """Concatenate separate linear layers into one fused projection
+    (output-column concat — the layout MultiHeadQKVAttention splits)."""
     return {
-        name: {"kernel": _t_linear(sd[f"{prefix}.{name}.weight"]),
-               "bias": np.asarray(sd[f"{prefix}.{name}.bias"])}
-        for name in ("q_projector", "k_projector", "v_projector",
-                     "o_projector")
+        "kernel": np.concatenate([l["kernel"] for l in lins], axis=1),
+        "bias": np.concatenate([l["bias"] for l in lins], axis=0),
     }
 
 
-def _mab(sd, prefix):
-    out = {"mqkv": _mqkv(sd, f"{prefix}.mqkv"),
+def _mqkv(sd, prefix, mode="kv"):
+    """Port the reference's 4 separate projections into the fused
+    layout: mode='qkv' (self-attention: q==k==v inputs, one projector)
+    or 'kv' (cross-attention: separate q, fused k/v). Mirrors the
+    trace-driven fusion in models/set_transformer.py."""
+    q = _lin(sd, f"{prefix}.q_projector")
+    k = _lin(sd, f"{prefix}.k_projector")
+    v = _lin(sd, f"{prefix}.v_projector")
+    out = {"o_projector": _lin(sd, f"{prefix}.o_projector")}
+    if mode == "qkv":
+        out["qkv_projector"] = _cat_lins(q, k, v)
+    else:
+        out["q_projector"] = q
+        out["kv_projector"] = _cat_lins(k, v)
+    return out
+
+
+def _mab(sd, prefix, mode="kv"):
+    out = {"mqkv": _mqkv(sd, f"{prefix}.mqkv", mode),
            "fc": {"kernel": _t_linear(sd[f"{prefix}.fc.weight"]),
                   "bias": np.asarray(sd[f"{prefix}.fc.bias"])}}
     for ln in ("ln0", "ln1"):
@@ -141,9 +163,9 @@ def port_set_transformer(sd, prefix=""):
     n_layers = len({m.group(1) for k in sd
                     if (m := re.match(rf"{re.escape(p)}sabs\.(\d+)\.", k))})
     for i in range(n_layers):
-        layer = {"mab": _mab(sd, f"{p}sabs.{i}.mab")} \
+        layer = {"mab": _mab(sd, f"{p}sabs.{i}.mab", mode="qkv")} \
             if f"{p}sabs.{i}.mab.fc.weight" in sd else None
-        if layer is None:  # ISAB
+        if layer is None:  # ISAB (inducing-point queries: cross-attention)
             layer = {"mab0": _mab(sd, f"{p}sabs.{i}.mab0"),
                      "mab1": _mab(sd, f"{p}sabs.{i}.mab1"),
                      "I": np.asarray(sd[f"{p}sabs.{i}.I"])}
