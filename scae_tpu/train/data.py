@@ -310,8 +310,13 @@ def random_translate(images: jax.Array, key: jax.Array,
     (one per spatial axis) rather than a vmapped ``dynamic_slice``:
     the vmap lowering emitted ~5 tiny ops *per sample* per step
     (642 ops/step at B=128, 0.2 ms/step on the TPU trace), while the
-    batched gathers are 2 ops total. Output is bit-identical —
+    batched gathers are 2 ops / 43 us total. Output is bit-identical —
     ``padded[b, :, oy:oy+H, ox:ox+W]`` either way.
+
+    Measured dead end (kept as a note): collapsing to ONE gather on the
+    flattened spatial axis (window-start + static offset grid) lowers
+    to a kCustom gather costing ~1.7 ms/step — per-axis gathers hit
+    XLA:TPU's fast path, arbitrary flat indices do not.
     """
     B, C, H, W = images.shape
     padded = jnp.pad(images, ((0, 0), (0, 0),
