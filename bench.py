@@ -37,7 +37,10 @@ import jax.numpy as jnp
 import numpy as np
 
 NORTH_STAR = 20_000.0  # images/sec/chip, BASELINE.json north_star
-BATCH = 128
+# B=128 is the reference's training batch (mnist/hparams) and the
+# headline metric; SCAE_BENCH_BATCH measures throughput/MFU scaling at
+# other sizes (BASELINE.md batch-scaling table)
+BATCH = int(os.environ.get("SCAE_BENCH_BATCH", "128"))
 SCAN_STEPS = 100       # steps fused per dispatch (amortizes link latency)
 REPEATS = 6            # timed dispatches; best-of is reported (the
                        # tunneled chip shows large run-to-run latency

@@ -298,6 +298,40 @@ def pad_to_canvas(images: jax.Array, canvas: int) -> jax.Array:
                             (left, canvas - w - left)))
 
 
+def random_affine(images: jax.Array, key: jax.Array,
+                  degrees: float = 0.0,
+                  scale_jitter: float = 0.0) -> jax.Array:
+    """Device-side per-sample random rotation + isotropic scale jitter.
+
+    The torchvision-RandomAffine analog the reference gets for free from
+    its CPU dataloader (mnist/experiment.py:27-36 uses only `translate`;
+    torchvision also offers degrees/scale — this is that surface,
+    device-resident and fused into the jitted step). Bilinear sampling
+    with zero padding via the same matmul-form warp the part decoder
+    uses (ops/warp.affine_warp — MXU work, no gathers), about the image
+    center. Integer translation stays in random_translate (exact and
+    cheaper than folding it into the warp).
+
+    Args:
+      degrees: rotation sampled from U(-degrees, +degrees).
+      scale_jitter: scale sampled from U(1 - j, 1 + j).
+    """
+    from scae_tpu.ops.warp import affine_warp
+
+    B, C, H, W = images.shape
+    k_th, k_sc = jax.random.split(key)
+    theta = jax.random.uniform(k_th, (B,), jnp.float32,
+                               -degrees, degrees) * (jnp.pi / 180.0)
+    s = jax.random.uniform(k_sc, (B,), jnp.float32,
+                           1.0 - scale_jitter, 1.0 + scale_jitter)
+    # inverse map (output pixel -> source pixel), affine_grid convention:
+    # A = (1/s) * R(-theta), no translation (centered rotation/zoom)
+    c, sn = jnp.cos(theta) / s, jnp.sin(theta) / s
+    zero = jnp.zeros_like(c)
+    pose = jnp.stack([c, sn, zero, -sn, c, zero], axis=-1)   # (B, 6)
+    return affine_warp(images.astype(jnp.float32), pose, (H, W))
+
+
 def random_translate(images: jax.Array, key: jax.Array,
                      max_shift: int) -> jax.Array:
     """Device-side random per-sample integer translation (+-max_shift).

@@ -52,13 +52,22 @@ from scae_tpu.train.metrics import (
 )
 
 
-def make_augment_fn(canvas: int, max_shift: int):
-    """Device-side pad-to-canvas + random translate (train only)."""
+def make_augment_fn(canvas: int, max_shift: int,
+                    degrees: float = 0.0, scale_jitter: float = 0.0):
+    """Device-side pad-to-canvas + random affine + translate (train only).
+
+    degrees/scale_jitter default off (the reference recipe augments with
+    translation only); when set they add per-sample rotation/zoom via
+    the matmul-form warp (data.random_affine)."""
 
     def augment(batch, rng):
         images = batch["image"]
         if canvas and images.shape[-1] != canvas:
             images = data_lib.pad_to_canvas(images, canvas)
+        if degrees or scale_jitter:
+            rng, affine_rng = jax.random.split(rng)
+            images = data_lib.random_affine(images, affine_rng,
+                                            degrees, scale_jitter)
         if max_shift:
             images = data_lib.random_translate(images, rng, max_shift)
         return {**batch, "image": images}
@@ -116,6 +125,8 @@ class Trainer:
                 f"consumes {model_hw}x{model_hw} images "
                 "(model.image_shape); set canvas to null to derive it")
         self.max_shift = aug.get("max_shift", 0)
+        self.aug_degrees = aug.get("degrees", 0.0) or 0.0
+        self.aug_scale_jitter = aug.get("scale_jitter", 0.0) or 0.0
         self.center_pad = make_center_pad_fn(self.canvas)
 
         prof = trainer_cfg.get("profile") or {}
@@ -138,7 +149,9 @@ class Trainer:
             .get("decay_rate"),
             decay_steps=steps_per_epoch,
         )
-        augment = make_augment_fn(self.canvas, self.max_shift)
+        augment = make_augment_fn(self.canvas, self.max_shift,
+                                  degrees=self.aug_degrees,
+                                  scale_jitter=self.aug_scale_jitter)
         # K fused steps per dispatch (device-resident data, on-device
         # augmentation, scan over the log interval)
         self.train_scan = make_train_scan(self.model, self.tx,

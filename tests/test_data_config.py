@@ -101,6 +101,53 @@ def test_random_translate_actually_moves():
     assert len(np.unique(positions, axis=0)) > 1  # not all identical
 
 
+def test_random_affine_zero_params_is_identity():
+    img = jax.random.uniform(jax.random.PRNGKey(2), (4, 1, 12, 12))
+    out = data_lib.random_affine(img, jax.random.PRNGKey(3),
+                                 degrees=0.0, scale_jitter=0.0)
+    # theta=0, s=1 -> identity warp; bilinear taps land exactly on pixels
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_random_affine_rotates_about_center():
+    # a half-plane image rotated by up to 25 deg keeps its center value
+    # and changes its corners; mass approx preserved away from edges
+    img = jnp.zeros((6, 1, 17, 17)).at[:, :, :, 9:].set(1.0)
+    out = data_lib.random_affine(img, jax.random.PRNGKey(4),
+                                 degrees=25.0, scale_jitter=0.0)
+    assert out.shape == img.shape
+    got = np.asarray(out)
+    assert not np.allclose(got, np.asarray(img))   # actually rotated
+    assert len({a.tobytes() for a in got}) > 1     # per-sample angles
+    # center pixel of the filled half stays filled under <=25 deg
+    assert got[:, 0, 8, 12].min() > 0.5
+
+
+def test_random_affine_scale_jitter_zooms():
+    img = jnp.zeros((8, 1, 16, 16)).at[:, :, 6:10, 6:10].set(1.0)
+    out = data_lib.random_affine(img, jax.random.PRNGKey(5),
+                                 degrees=0.0, scale_jitter=0.3)
+    areas = np.asarray(out).sum((1, 2, 3))
+    assert areas.std() > 0.1                       # zoom changes mass
+    assert (areas > 4.0).all() and (areas < 40.0).all()
+
+
+def test_augment_fn_affine_off_by_default_matches_translate_only():
+    from scae_tpu.train.loop import make_augment_fn
+    img = jax.random.uniform(jax.random.PRNGKey(6), (4, 1, 8, 8))
+    batch = {"image": img, "label": jnp.zeros((4,), jnp.int32)}
+    rng = jax.random.PRNGKey(7)
+    base = make_augment_fn(canvas=12, max_shift=2)(batch, rng)
+    off = make_augment_fn(canvas=12, max_shift=2, degrees=0.0,
+                          scale_jitter=0.0)(batch, rng)
+    np.testing.assert_array_equal(np.asarray(base["image"]),
+                                  np.asarray(off["image"]))
+    on = make_augment_fn(canvas=12, max_shift=2, degrees=20.0)(batch, rng)
+    assert not np.allclose(np.asarray(on["image"]),
+                           np.asarray(base["image"]))
+
+
 # ------------------------------------------------------------- config
 
 
