@@ -374,35 +374,54 @@ class Trainer:
 
         # epoch and intra-epoch position derive from the restored step, so
         # a resumed run consumes exactly the indices a never-interrupted
-        # run would (deterministic resume; perm seeded by absolute epoch)
-        start_epoch = global_step // steps_per_epoch
-        for epoch in range(start_epoch, max_epochs):
-            perm = np.random.RandomState(seed + epoch).permutation(
-                len(train_ds))
-            i = global_step - epoch * steps_per_epoch  # intra-epoch offset
-            n_steps = len(train_ds) // self.batch_size
+        # run would (deterministic resume; perm seeded by absolute epoch).
+        #
+        # Chunks CROSS epoch boundaries: the index stream for a whole
+        # eval period (eval_every_epochs worth of per-epoch permutations)
+        # is assembled on the host and dispatched in log_every-step
+        # scans. Clamping chunks to epochs made short-epoch runs
+        # dispatch-bound over the tunneled link (the 9-step-epoch digits
+        # runs paid 8,000 round trips for 72,000 steps); the stream is a
+        # pure function of the absolute step either way, so resume
+        # determinism and eval/ckpt cadence are unchanged.
+        eval_every = trainer_cfg.get("eval_every_epochs", 1)
+        if steps_per_epoch <= 0:
+            raise ValueError(
+                f"dataset ({len(train_ds)}) smaller than one batch "
+                f"({self.batch_size}); nothing to train")
+        # bound one assembled stream to ~16k steps (a few MB of indices)
+        max_span = max(1, -(-16384 // steps_per_epoch))
+        epoch = global_step // steps_per_epoch
+        while epoch < max_epochs and not stop:
+            period_end = min((epoch // eval_every + 1) * eval_every,
+                             max_epochs, epoch + max_span)
+            stream = np.concatenate([
+                np.random.RandomState(seed + e).permutation(len(train_ds))
+                [:steps_per_epoch * self.batch_size]
+                .reshape(steps_per_epoch, self.batch_size)
+                for e in range(epoch, period_end)], axis=0)
+            stream = stream[global_step - epoch * steps_per_epoch:]
+            n = stream.shape[0]
             if max_steps is not None:
-                n_steps = min(n_steps, i + max(max_steps - global_step, 0))
-                if global_step >= max_steps:
+                n = min(n, max(max_steps - global_step, 0))
+                if n <= 0:
                     stop = True
-            if n_steps <= 0:
-                stop = True
-            while i < n_steps:
+            j = 0
+            while j < n:
                 profiling = self.profiler.maybe_start(global_step)
                 # Merge a small remainder into one chunk (54 steps with
                 # log_every=50 dispatches ONE 54-step scan, not 50+4):
                 # a tiny trailing chunk pays the full dispatch round
                 # trip for a few steps and halves the in-loop median
                 # over a tunneled link.
-                remaining = n_steps - i
+                remaining = n - j
                 k = remaining if remaining <= (log_every * 3) // 2 \
                     else log_every
                 idxs = make_global_array(
-                    perm[i * self.batch_size:(i + k) * self.batch_size]
-                    .astype(np.int32).reshape(k, self.batch_size),
+                    stream[j:j + k].astype(np.int32),
                     self.mesh, P(None, DATA_AXIS))
                 state, metrics = self.train_scan(state, device_data, idxs)
-                i += k
+                j += k
                 global_step += k
                 flush_pending()  # sync chunk k-1 while chunk k computes
                 pending = (global_step, metrics, k)
@@ -414,10 +433,11 @@ class Trainer:
                 if max_steps is not None and global_step >= max_steps:
                     stop = True
                     break
-            flush_pending()  # epoch boundary: eval/ckpt need clean timing
+            flush_pending()  # period boundary: eval/ckpt need clean timing
+            epoch = global_step // steps_per_epoch
 
-            if (epoch + 1) % trainer_cfg.get("eval_every_epochs", 1) == 0 \
-                    or stop:
+            if (epoch % eval_every == 0 and epoch > 0) or stop \
+                    or epoch >= max_epochs:
                 val_metrics, viz_images = self.evaluate(
                     state.params, val_ds,
                     max_batches=trainer_cfg.get("max_eval_batches"))
