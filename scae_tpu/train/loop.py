@@ -298,6 +298,62 @@ class Trainer:
                                    "test_rec_ll_loss")))
         return metrics
 
+    def probe_seeds(self, base_seed: int, n: int, probe_epochs: int):
+        """Multi-restart selection: briefly train n candidate seeds and
+        return the one with the lowest validation reconstruction NLL.
+
+        SCAE training on small data is bimodal — a seed either escapes
+        the background-explains-everything optimum or it doesn't, and
+        the two populations separate by ~20 nats of val_rec_ll within
+        ~200 epochs (RESULTS.md, 6-seed study: escapees 1509-1513 vs
+        stuck 1534-1536 at step 1800 on optdigits). One probe is a
+        single scan dispatch, so n probes cost one extra compile plus
+        n short runs. The seed also keys the data split, so each
+        candidate probes its own split (as its full run would see).
+        """
+        cfg = self.cfg
+        c, h, _ = cfg["model"]["image_shape"]
+        results = []
+        built = False
+        for s in range(base_seed, base_seed + n):
+            train_ds, val_ds, _, _ = data_lib.load_datasets(
+                data_dir=cfg["data_loader"].get("data_dir"), seed=s,
+                image_size=min(h, 28 if c == 1 else h), n_channels=c,
+                source=cfg["data_loader"].get("source"),
+                **self._dataset_sizes())
+            spe = len(train_ds) // self.batch_size
+            if spe <= 0:
+                raise ValueError("dataset smaller than one batch")
+            if not built:
+                self.build_steps(spe)
+                built = True
+            state = self.init_state(s)
+            data = {
+                "image": make_global_array(train_ds.images, self.mesh,
+                                           P()),
+                "label": make_global_array(
+                    train_ds.labels.astype(np.int32), self.mesh, P()),
+            }
+            stream = np.concatenate([
+                np.random.RandomState(s + e).permutation(len(train_ds))
+                [:spe * self.batch_size].reshape(spe, self.batch_size)
+                for e in range(probe_epochs)], axis=0)
+            idxs = make_global_array(stream.astype(np.int32), self.mesh,
+                                     P(None, DATA_AXIS))
+            state, _ = self.train_scan(state, data, idxs)
+            metrics, _ = self.evaluate(
+                state.params, val_ds,
+                max_batches=cfg["trainer"].get("max_eval_batches"))
+            score = metrics.get("val_rec_ll_loss",
+                                metrics.get("val_loss", float("inf")))
+            results.append((score, s))
+            print(f"[scae_tpu] seed probe {s}: val_rec_ll={score:.2f} "
+                  f"({probe_epochs} epochs)")
+        best = min(results)[1]
+        print(f"[scae_tpu] seed probe winner: {best} "
+              f"(of {[s for _, s in results]})")
+        return best
+
     def run(self, max_epochs: Optional[int] = None,
             max_steps: Optional[int] = None, resume: bool = False):
         cfg = self.cfg
@@ -305,6 +361,13 @@ class Trainer:
         trainer_cfg = cfg["trainer"]
         max_epochs = max_epochs or trainer_cfg.get("max_epochs", 1)
         log_every = trainer_cfg.get("log_every_steps", 50)
+
+        probe = trainer_cfg.get("seed_probe") or {}
+        n_probe = int(probe.get("n", 0) or 0)
+        if n_probe > 0 and not (resume and self.ckpt.latest_step
+                                is not None):
+            seed = self.probe_seeds(seed, n_probe,
+                                    int(probe.get("epochs", 200)))
 
         c, h, _ = cfg["model"]["image_shape"]
         train_ds, val_ds, test_ds, source = data_lib.load_datasets(

@@ -103,3 +103,50 @@ def test_trainer_loop_one_epoch(tmp_path):
     assert os.path.exists(f"{tmp_path}/logs/metrics.jsonl")
     assert len(os.listdir(f"{tmp_path}/logs/images")) >= 3
     assert trainer.ckpt.latest_step is not None
+
+
+def test_seed_probe_selects_and_trains(tmp_path, capsys):
+    """trainer.seed_probe: probe n candidate seeds briefly, then the
+    full run proceeds with the val_rec_ll winner."""
+    from scae_tpu.config import load_config
+    from scae_tpu.train.loop import Trainer
+
+    cfg = load_config("config", overrides=[
+        "data_loader.batch_size=16",
+        "trainer.max_epochs=1",
+        "trainer.log_every_steps=4",
+        f"trainer.checkpoint_dir={tmp_path}/ckpt",
+        f"trainer.log_dir={tmp_path}/logs",
+        "trainer.max_eval_batches=1",
+        "trainer.seed_probe.n=2",
+        "trainer.seed_probe.epochs=1",
+        "trainer.augment.canvas=24",
+        "trainer.augment.max_shift=2",
+        "model.image_shape=[1,24,24]",
+        "model.n_part_caps=8",
+        "model.n_obj_caps=4",
+        "model.pcae_cnn_encoder_params.out_channels=[16,16,16,16]",
+        "model.pcae_template_generator_params.template_size=[6,6]",
+        "model.ocae_encoder_set_transformer_params.dim_hidden=8",
+        "model.ocae_encoder_set_transformer_params.dim_out=16",
+        "model.ocae_decoder_capsule_params.dim_caps=8",
+        "model.ocae_decoder_capsule_params.hidden_sizes=[16]",
+    ])
+    import scae_tpu.train.data as data_lib
+    orig = data_lib.load_datasets
+
+    def tiny_datasets(**kw):
+        kw.update(val_size=32, synthetic_train=64, synthetic_test=32)
+        return orig(**kw)
+
+    data_lib.load_datasets = tiny_datasets
+    try:
+        trainer = Trainer(cfg)
+        state = trainer.run(max_epochs=1)
+    finally:
+        data_lib.load_datasets = orig
+
+    out = capsys.readouterr().out
+    assert "seed probe 42:" in out and "seed probe 43:" in out
+    assert "seed probe winner:" in out
+    assert int(state.step) == 2  # 64 synthetic - 32 val = 32 train / B=16
