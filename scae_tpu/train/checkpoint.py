@@ -21,6 +21,7 @@ class CheckpointManager:
                  monitor: str = "loss", mode: str = "min"):
         directory = os.path.abspath(directory)
         os.makedirs(directory, exist_ok=True)
+        self.directory = directory
         best_fn = (lambda m: m[monitor]) if monitor else None
         options = ocp.CheckpointManagerOptions(
             max_to_keep=max_to_keep,

@@ -19,6 +19,8 @@ No gc.collect() per batch (SURVEY.md §2.4(11)); steps are fully async on
 device and the host only syncs when logging.
 """
 
+import json
+import os
 import time
 from typing import Dict, Optional
 
@@ -364,10 +366,24 @@ class Trainer:
 
         probe = trainer_cfg.get("seed_probe") or {}
         n_probe = int(probe.get("n", 0) or 0)
-        if n_probe > 0 and not (resume and self.ckpt.latest_step
-                                is not None):
-            seed = self.probe_seeds(seed, n_probe,
-                                    int(probe.get("epochs", 200)))
+        if n_probe > 0:
+            # The winning seed keys the data split, so a resume must
+            # reuse it — re-probing (or falling back to the config
+            # seed) would re-split train/val under restored params.
+            seed_path = os.path.join(self.ckpt.directory,
+                                     "probe_seed.json")
+            if resume and self.ckpt.latest_step is not None:
+                if os.path.exists(seed_path):
+                    with open(seed_path) as f:
+                        seed = int(json.load(f)["seed"])
+                    print(f"[scae_tpu] resume: probe-selected seed "
+                          f"{seed}")
+            else:
+                seed = self.probe_seeds(seed, n_probe,
+                                        int(probe.get("epochs", 200)))
+                if jax.process_index() == 0:
+                    with open(seed_path, "w") as f:
+                        json.dump({"seed": seed}, f)
 
         c, h, _ = cfg["model"]["image_shape"]
         train_ds, val_ds, test_ds, source = data_lib.load_datasets(

@@ -143,10 +143,24 @@ def test_seed_probe_selects_and_trains(tmp_path, capsys):
     try:
         trainer = Trainer(cfg)
         state = trainer.run(max_epochs=1)
+
+        out = capsys.readouterr().out
+        assert "seed probe 42:" in out and "seed probe 43:" in out
+        assert "seed probe winner:" in out
+
+        # the winner is persisted (it keys the data split) and a resume
+        # reuses it instead of re-probing or reverting to cfg seed
+        import json
+        with open(f"{tmp_path}/ckpt/probe_seed.json") as f:
+            winner = json.load(f)["seed"]
+        assert winner in (42, 43)
+        assert f"seed probe winner: {winner}" in out
+
+        trainer2 = Trainer(cfg)
+        trainer2.run(max_epochs=2, resume=True)
+        out2 = capsys.readouterr().out
+        assert "seed probe winner:" not in out2  # no re-probe
+        assert f"resume: probe-selected seed {winner}" in out2
     finally:
         data_lib.load_datasets = orig
-
-    out = capsys.readouterr().out
-    assert "seed probe 42:" in out and "seed probe 43:" in out
-    assert "seed probe winner:" in out
     assert int(state.step) == 2  # 64 synthetic - 32 val = 32 train / B=16
