@@ -112,10 +112,17 @@ class Trainer:
         # file per process)
         self.writer = MetricsWriter(self.log_dir,
                                     tensorboard=is_process_zero())
+        # reference parity: Lightning's ModelCheckpoint(monitor=...)
+        # (mnist/train.py:34-38); val_accuracy/max keeps the peak-
+        # accuracy checkpoint that loss-monitored top-k would evict
+        # (RESULTS.md: unsup accuracy peaks mid-run, then likelihood
+        # keeps improving while accuracy degrades)
+        self.monitor = trainer_cfg.get("monitor", "val_loss")
+        self.monitor_mode = trainer_cfg.get("monitor_mode", "min")
         self.ckpt = CheckpointManager(
             trainer_cfg.get("checkpoint_dir", "./checkpoints"),
             max_to_keep=trainer_cfg.get("save_top_k", 3),
-            monitor="loss")
+            monitor=self.monitor, mode=self.monitor_mode)
 
         aug = trainer_cfg.get("augment") or {}
         model_hw = cfg["model"]["image_shape"][-1]
@@ -531,7 +538,8 @@ class Trainer:
                 # host tree is replicated so the primary writes it all)
                 self.ckpt.save(
                     global_step, jax.device_get(state),
-                    metrics={"loss": val_metrics.get("val_loss", 0.0)})
+                    metrics={self.monitor: float(
+                        val_metrics.get(self.monitor, 0.0))})
                 # keep images_per_sec clean: don't charge eval/ckpt wall
                 # time to the next train chunk
                 t0 = time.time()

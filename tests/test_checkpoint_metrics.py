@@ -54,6 +54,33 @@ def test_checkpoint_top_k_retention(tmp_path):
     mgr.close()
 
 
+def test_checkpoint_monitor_max_mode(tmp_path):
+    """trainer.monitor=val_accuracy + monitor_mode=max keeps the
+    peak-accuracy checkpoint that loss-monitored top-k would evict."""
+    state = jax.device_get(_tiny_state())
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2,
+                            monitor="val_accuracy", mode="max")
+    for step, acc in [(1, 0.2), (2, 0.85), (3, 0.7), (4, 0.4)]:
+        mgr.save(step, state, metrics={"val_accuracy": acc})
+        mgr.wait()
+    assert mgr.best_step == 2
+    mgr.close()
+
+
+def test_trainer_wires_monitor_from_config(tmp_path):
+    from scae_tpu.config import load_config
+    from scae_tpu.train.loop import Trainer
+    cfg = load_config("config", overrides=[
+        f"trainer.checkpoint_dir={tmp_path}/ckpt",
+        f"trainer.log_dir={tmp_path}/logs",
+        "trainer.monitor=val_accuracy",
+        "trainer.monitor_mode=max",
+    ])
+    trainer = Trainer(cfg)
+    assert trainer.monitor == "val_accuracy"
+    assert trainer.monitor_mode == "max"
+
+
 def test_png_writer_valid_file(tmp_path):
     img = np.random.RandomState(0).rand(16, 24)
     path = str(tmp_path / "test.png")
