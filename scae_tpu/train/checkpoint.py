@@ -22,7 +22,12 @@ class CheckpointManager:
         directory = os.path.abspath(directory)
         os.makedirs(directory, exist_ok=True)
         self.directory = directory
-        best_fn = (lambda m: m[monitor]) if monitor else None
+        def _score(m, _key=monitor):
+            # checkpoints written before the monitor was configurable
+            # store the monitored value under "loss"
+            return m[_key] if _key in m else m["loss"]
+
+        best_fn = _score if monitor else None
         options = ocp.CheckpointManagerOptions(
             max_to_keep=max_to_keep,
             best_fn=best_fn,

@@ -283,6 +283,13 @@ class Trainer:
         """
         cfg = self.cfg
         seed = cfg.get("seed", 42)
+        # a probe-selected run trained under (and split its data by)
+        # the persisted winner, not the config seed
+        seed_path = os.path.join(self.ckpt.directory, "probe_seed.json")
+        if os.path.exists(seed_path):
+            with open(seed_path) as f:
+                seed = int(json.load(f)["seed"])
+            print(f"[scae_tpu] test: probe-selected seed {seed}")
         c, h, _ = cfg["model"]["image_shape"]
         train_ds, _, test_ds, source = data_lib.load_datasets(
             data_dir=cfg["data_loader"].get("data_dir"), seed=seed,

@@ -67,6 +67,23 @@ def test_checkpoint_monitor_max_mode(tmp_path):
     mgr.close()
 
 
+def test_checkpoint_monitor_reads_legacy_loss_key(tmp_path):
+    """Checkpoints written before the monitor was configurable store
+    the monitored value under 'loss'; best_step must still work."""
+    state = jax.device_get(_tiny_state())
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2,
+                            monitor="loss")
+    mgr.save(1, state, metrics={"loss": 5.0})
+    mgr.wait()
+    mgr.close()
+    reopened = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2,
+                                 monitor="val_loss")
+    reopened.save(2, state, metrics={"val_loss": 3.0})
+    reopened.wait()
+    assert reopened.best_step == 2
+    reopened.close()
+
+
 def test_trainer_wires_monitor_from_config(tmp_path):
     from scae_tpu.config import load_config
     from scae_tpu.train.loop import Trainer
