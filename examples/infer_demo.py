@@ -54,12 +54,10 @@ def main(argv):
     cfg = load_config("config", overrides=overrides)
     trainer = Trainer(cfg)
 
-    # data split must match training: honor a probe-selected seed
-    seed = cfg.get("seed", 42)
-    seed_path = os.path.join(trainer.ckpt.directory, "probe_seed.json")
-    if os.path.exists(seed_path):
-        with open(seed_path) as f:
-            seed = int(json.load(f)["seed"])
+    # data split must match training: honor the recorded training seed
+    seed = trainer._recorded_seed()
+    if seed is None:
+        seed = cfg.get("seed", 42)
     c, h, _ = cfg["model"]["image_shape"]
     train_ds, _, test_ds, source = data_lib.load_datasets(
         data_dir=cfg["data_loader"].get("data_dir"), seed=seed,
@@ -128,11 +126,11 @@ def main(argv):
         for r in records:
             f.write(json.dumps(r) + "\n")
 
-    m = min(16, len(records))
+    # row 1 originals, row 2 reconstructions: m bounded by the first
+    # batch's real (unpadded) image count so the rows stay aligned
+    m = min(16, B, len(records))
     grid = make_grid(np.concatenate([first_out["padded"][:m],
                                      first_out["recon"][:m]]), n_cols=m)
-    if grid.ndim == 3 and grid.shape[-1] == 1:
-        grid = grid[..., 0]
     write_png(os.path.join(out_dir, "inference_grid.png"), grid)
 
     print(f"[infer] {len(records)} images -> {out_dir}/predictions.jsonl"

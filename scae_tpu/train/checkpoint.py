@@ -22,10 +22,17 @@ class CheckpointManager:
         directory = os.path.abspath(directory)
         os.makedirs(directory, exist_ok=True)
         self.directory = directory
-        def _score(m, _key=monitor):
+        def _score(m, _key=monitor, _mode=mode):
+            if _key in m:
+                return m[_key]
             # checkpoints written before the monitor was configurable
-            # store the monitored value under "loss"
-            return m[_key] if _key in m else m["loss"]
+            # store the monitored value under "loss" — comparable only
+            # when the monitor IS the loss
+            if _key in ("loss", "val_loss") and "loss" in m:
+                return m["loss"]
+            # a checkpoint with no comparable metric (e.g. the monitor
+            # changed between runs) ranks worst; never crash, never win
+            return float("-inf") if _mode == "max" else float("inf")
 
         best_fn = _score if monitor else None
         options = ocp.CheckpointManagerOptions(

@@ -144,6 +144,11 @@ class Trainer:
                                  n_steps=prof.get("n_steps", 3))
 
     def build_steps(self, steps_per_epoch: int):
+        # idempotent per steps_per_epoch: the probe and the subsequent
+        # full run share one set of jitted scans (one compile total)
+        if getattr(self, "_built_spe", None) == steps_per_epoch:
+            return
+        self._built_spe = steps_per_epoch
         opt_cfg = self.cfg["optimizer"]
         la = self.cfg.get("lookahead") or {}
         self.tx = make_optimizer(
@@ -202,21 +207,21 @@ class Trainer:
         return out
 
     def _device_eval_data(self, dataset):
-        """Eval split as (globally replicated) device arrays, cached per
-        dataset object. Multi-host: every process holds the same split
-        (derived from the shared seed), so replication is local."""
-        cache = getattr(self, "_eval_data_cache", None)
-        if cache is None:
-            cache = self._eval_data_cache = {}
-        key = id(dataset)
-        if key not in cache:
+        """Eval split as (globally replicated) device arrays, cached for
+        the most recent dataset object. Single slot, holding a strong
+        reference: an id()-keyed dict would both pile up device copies
+        across seed probes and alias a recycled object id onto a stale
+        entry. Multi-host: every process holds the same split (derived
+        from the shared seed), so replication is local."""
+        cached = getattr(self, "_eval_data_cache", None)
+        if cached is None or cached[0] is not dataset:
             rep = P()
-            cache[key] = {
+            self._eval_data_cache = (dataset, {
                 "image": make_global_array(dataset.images, self.mesh, rep),
                 "label": make_global_array(
                     dataset.labels.astype(np.int32), self.mesh, rep),
-            }
-        return cache[key]
+            })
+        return self._eval_data_cache[1]
 
     def evaluate(self, params, dataset, seed: int = 0,
                  max_batches: Optional[int] = None):
@@ -283,13 +288,13 @@ class Trainer:
         """
         cfg = self.cfg
         seed = cfg.get("seed", 42)
-        # a probe-selected run trained under (and split its data by)
-        # the persisted winner, not the config seed
-        seed_path = os.path.join(self.ckpt.directory, "probe_seed.json")
-        if os.path.exists(seed_path):
-            with open(seed_path) as f:
-                seed = int(json.load(f)["seed"])
-            print(f"[scae_tpu] test: probe-selected seed {seed}")
+        # evaluate against the split the checkpoints were trained on
+        # (a probe-selected run trained under the persisted winner,
+        # not the config seed)
+        rec = self._recorded_seed()
+        if rec is not None:
+            seed = rec
+            print(f"[scae_tpu] test: recorded training seed {seed}")
         c, h, _ = cfg["model"]["image_shape"]
         train_ds, _, test_ds, source = data_lib.load_datasets(
             data_dir=cfg["data_loader"].get("data_dir"), seed=seed,
@@ -314,22 +319,39 @@ class Trainer:
                                    "test_rec_ll_loss")))
         return metrics
 
+    def _recorded_seed(self) -> Optional[int]:
+        """The seed that trained the checkpoints in ckpt.directory
+        (written by every run; probe_seed.json is the legacy name from
+        when only probe-selected runs recorded it), or None."""
+        for name in ("train_seed.json", "probe_seed.json"):
+            path = os.path.join(self.ckpt.directory, name)
+            if os.path.exists(path):
+                with open(path) as f:
+                    return int(json.load(f)["seed"])
+        return None
+
     def probe_seeds(self, base_seed: int, n: int, probe_epochs: int):
         """Multi-restart selection: briefly train n candidate seeds and
-        return the one with the lowest validation reconstruction NLL.
+        return (seed, state) of the lowest validation reconstruction
+        NLL — the winner's probe training is continued, not replayed,
+        so its probe_epochs count toward the full schedule.
 
         SCAE training on small data is bimodal — a seed either escapes
         the background-explains-everything optimum or it doesn't, and
         the two populations separate by ~20 nats of val_rec_ll within
         ~200 epochs (RESULTS.md, 6-seed study: escapees 1509-1513 vs
-        stuck 1534-1536 at step 1800 on optdigits). One probe is a
-        single scan dispatch, so n probes cost one extra compile plus
-        n short runs. The seed also keys the data split, so each
-        candidate probes its own split (as its full run would see).
+        stuck 1534-1536 at step 1800 on optdigits). One probe is a few
+        scan dispatches (spans bounded at ~16k steps like the main
+        loop), so n probes cost one extra compile plus n short runs.
+        The seed also keys the data split, so each candidate probes
+        its own split (as its full run would see). The probe score's
+        predictive value is measured: it rank-predicts final accuracy
+        (Spearman ~0.97 over 8 full runs, incl. a preregistered test).
         """
         cfg = self.cfg
         c, h, _ = cfg["model"]["image_shape"]
         results = []
+        best_state = None
         built = False
         for s in range(base_seed, base_seed + n):
             train_ds, val_ds, _, _ = data_lib.load_datasets(
@@ -350,25 +372,41 @@ class Trainer:
                 "label": make_global_array(
                     train_ds.labels.astype(np.int32), self.mesh, P()),
             }
-            stream = np.concatenate([
-                np.random.RandomState(s + e).permutation(len(train_ds))
-                [:spe * self.batch_size].reshape(spe, self.batch_size)
-                for e in range(probe_epochs)], axis=0)
-            idxs = make_global_array(stream.astype(np.int32), self.mesh,
-                                     P(None, DATA_AXIS))
-            state, _ = self.train_scan(state, data, idxs)
+            # bound one assembled stream to ~16k steps (a few MB of
+            # indices), same discipline as the main loop
+            max_span = max(1, -(-16384 // spe))
+            e = 0
+            while e < probe_epochs:
+                span_end = min(probe_epochs, e + max_span)
+                stream = np.concatenate([
+                    np.random.RandomState(s + e2)
+                    .permutation(len(train_ds))
+                    [:spe * self.batch_size]
+                    .reshape(spe, self.batch_size)
+                    for e2 in range(e, span_end)], axis=0)
+                idxs = make_global_array(stream.astype(np.int32),
+                                         self.mesh, P(None, DATA_AXIS))
+                state, _ = self.train_scan(state, data, idxs)
+                e = span_end
             metrics, _ = self.evaluate(
                 state.params, val_ds,
                 max_batches=cfg["trainer"].get("max_eval_batches"))
-            score = metrics.get("val_rec_ll_loss",
-                                metrics.get("val_loss", float("inf")))
+            score = float(metrics.get("val_rec_ll_loss",
+                                      metrics.get("val_loss",
+                                                  float("inf"))))
+            # a diverged probe (NaN) must lose outright: NaN compares
+            # False everywhere, so min() could otherwise return it
+            if not np.isfinite(score):
+                score = float("inf")
             results.append((score, s))
+            if (score, s) == min(results):
+                best_state = state  # keep only the leader on device
             print(f"[scae_tpu] seed probe {s}: val_rec_ll={score:.2f} "
                   f"({probe_epochs} epochs)")
         best = min(results)[1]
         print(f"[scae_tpu] seed probe winner: {best} "
               f"(of {[s for _, s in results]})")
-        return best
+        return best, best_state
 
     def run(self, max_epochs: Optional[int] = None,
             max_steps: Optional[int] = None, resume: bool = False):
@@ -380,24 +418,29 @@ class Trainer:
 
         probe = trainer_cfg.get("seed_probe") or {}
         n_probe = int(probe.get("n", 0) or 0)
-        if n_probe > 0:
-            # The winning seed keys the data split, so a resume must
-            # reuse it — re-probing (or falling back to the config
-            # seed) would re-split train/val under restored params.
-            seed_path = os.path.join(self.ckpt.directory,
-                                     "probe_seed.json")
-            if resume and self.ckpt.latest_step is not None:
-                if os.path.exists(seed_path):
-                    with open(seed_path) as f:
-                        seed = int(json.load(f)["seed"])
-                    print(f"[scae_tpu] resume: probe-selected seed "
-                          f"{seed}")
-            else:
-                seed = self.probe_seeds(seed, n_probe,
-                                        int(probe.get("epochs", 200)))
-                if jax.process_index() == 0:
-                    with open(seed_path, "w") as f:
-                        json.dump({"seed": seed}, f)
+        if resume and self.ckpt.latest_step is not None:
+            # The training seed keys the data split, so a resume must
+            # reuse the recorded one — re-splitting train/val under
+            # restored params silently contaminates every eval
+            rec = self._recorded_seed()
+            if rec is not None:
+                seed = rec
+                print(f"[scae_tpu] resume: recorded training seed "
+                      f"{seed}")
+            elif n_probe > 0:
+                raise FileNotFoundError(
+                    "resume with trainer.seed_probe enabled, but the "
+                    "checkpoint dir records no training seed — the "
+                    "probe winner's data split cannot be recovered")
+        probe_state = None
+        if not (resume and self.ckpt.latest_step is not None):
+            if n_probe > 0:
+                seed, probe_state = self.probe_seeds(
+                    seed, n_probe, int(probe.get("epochs", 200)))
+            if is_process_zero():
+                with open(os.path.join(self.ckpt.directory,
+                                       "train_seed.json"), "w") as f:
+                    json.dump({"seed": seed}, f)
 
         c, h, _ = cfg["model"]["image_shape"]
         train_ds, val_ds, test_ds, source = data_lib.load_datasets(
@@ -413,7 +456,16 @@ class Trainer:
 
         steps_per_epoch = len(train_ds) // self.batch_size
         self.build_steps(steps_per_epoch)
-        state = self.init_state(seed)
+        if probe_state is not None:
+            # the winner's probe training continues (same datasets and
+            # deterministic index stream as a from-scratch run; its
+            # probe epochs count toward max_epochs) instead of being
+            # replayed from init
+            state = probe_state
+            print(f"[scae_tpu] continuing probe winner from step "
+                  f"{int(state.step)}")
+        else:
+            state = self.init_state(seed)
         if resume and self.ckpt.latest_step is not None:
             state = self.ckpt.restore(state)
             print(f"[scae_tpu] resumed from step {int(state.step)}")
@@ -543,10 +595,17 @@ class Trainer:
                 # every process participates in the save (Orbax
                 # coordinates multi-process writes internally; the
                 # host tree is replicated so the primary writes it all)
+                if self.monitor not in val_metrics:
+                    # a typo'd monitor or an empty eval pass must not
+                    # silently rank every checkpoint at a default score
+                    raise KeyError(
+                        f"trainer.monitor={self.monitor!r} not in eval "
+                        f"metrics {sorted(val_metrics)} (empty means the "
+                        "val split is smaller than one batch)")
                 self.ckpt.save(
                     global_step, jax.device_get(state),
                     metrics={self.monitor: float(
-                        val_metrics.get(self.monitor, 0.0))})
+                        val_metrics[self.monitor])})
                 # keep images_per_sec clean: don't charge eval/ckpt wall
                 # time to the next train chunk
                 t0 = time.time()

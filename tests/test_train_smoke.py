@@ -142,16 +142,18 @@ def test_seed_probe_selects_and_trains(tmp_path, capsys):
     data_lib.load_datasets = tiny_datasets
     try:
         trainer = Trainer(cfg)
-        state = trainer.run(max_epochs=1)
+        state = trainer.run(max_epochs=2)
 
         out = capsys.readouterr().out
         assert "seed probe 42:" in out and "seed probe 43:" in out
         assert "seed probe winner:" in out
+        # the winner's probe training is continued, not replayed
+        assert "continuing probe winner from step" in out
 
         # the winner is persisted (it keys the data split) and a resume
         # reuses it instead of re-probing or reverting to cfg seed
         import json
-        with open(f"{tmp_path}/ckpt/probe_seed.json") as f:
+        with open(f"{tmp_path}/ckpt/train_seed.json") as f:
             winner = json.load(f)["seed"]
         assert winner in (42, 43)
         assert f"seed probe winner: {winner}" in out
@@ -160,7 +162,9 @@ def test_seed_probe_selects_and_trains(tmp_path, capsys):
         trainer2.run(max_epochs=2, resume=True)
         out2 = capsys.readouterr().out
         assert "seed probe winner:" not in out2  # no re-probe
-        assert f"resume: probe-selected seed {winner}" in out2
+        assert f"resume: recorded training seed {winner}" in out2
     finally:
         data_lib.load_datasets = orig
-    assert int(state.step) == 2  # 64 synthetic - 32 val = 32 train / B=16
+    # 64 synthetic - 32 val = 32 train / B=16 = 2 steps/epoch x 2 epochs
+    # (the winner's 1 probe epoch counted toward the schedule)
+    assert int(state.step) == 4
