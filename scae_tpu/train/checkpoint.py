@@ -59,6 +59,22 @@ class CheckpointManager:
         return self._mgr.restore(
             int(step), args=ocp.args.StandardRestore(abstract))
 
+    def restore_params(self, step: Optional[int] = None) -> Any:
+        """Params subtree only, restored without a template (host numpy).
+
+        Warm-start path (`init_from=<dir>`): unlike `restore`, no
+        TrainState template is required, so the source run may have used
+        a different optimizer/lookahead configuration — only the model
+        parameters must match the current architecture (checked by the
+        caller against its freshly-initialized tree).
+        """
+        step = self._mgr.latest_step() if step is None else step
+        assert step is not None, "no checkpoint to restore params from"
+        raw = self._mgr.restore(int(step), args=ocp.args.StandardRestore())
+        if isinstance(raw, dict) and "params" in raw:
+            return raw["params"]
+        return raw.params
+
     @property
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

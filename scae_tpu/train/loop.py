@@ -192,8 +192,49 @@ class Trainer:
                  self.canvas, self.canvas), jnp.float32),
             "label": jnp.zeros((self.batch_size,), jnp.int32),
         }
-        return create_train_state(self.model, self.tx, example,
-                                  jax.random.PRNGKey(seed))
+        state = create_train_state(self.model, self.tx, example,
+                                   jax.random.PRNGKey(seed))
+        warm = self._warm_start_params(state.params)
+        if warm is not None:
+            state = state.replace(params=warm)
+        return state
+
+    def _warm_start_params(self, fresh_params):
+        """Params from `init_from=<checkpoint_dir>` (warm start), or None.
+
+        Transfer-learning analog of the reference notebook's
+        resume_from_checkpoint (train.ipynb cell 9) for a NEW run:
+        only the model parameters are taken — optimizer state, step,
+        and RNG start fresh, and the new run's own seed still keys its
+        data split and noise streams. Applies to every fresh init, so
+        a seed probe (trainer.seed_probe) probes warm-started
+        candidates. The source run's best checkpoint by its monitored
+        metric is used (falling back to the latest)."""
+        path = self.cfg.get("init_from")
+        if not path:
+            return None
+        cached = getattr(self, "_warm_params", None)
+        if cached is None:
+            src = CheckpointManager(path, monitor=self.monitor,
+                                    mode=self.monitor_mode)
+            step = src.best_step or src.latest_step
+            if step is None:
+                raise FileNotFoundError(
+                    f"init_from={path!r} contains no checkpoints")
+            cached = src.restore_params(step=step)
+            src.close()
+            ref = jax.tree.map(lambda x: (x.shape, str(x.dtype)),
+                               fresh_params)
+            got = jax.tree.map(lambda x: (x.shape, str(x.dtype)), cached)
+            if ref != got:
+                raise ValueError(
+                    f"init_from={path!r} step {step}: checkpoint "
+                    "parameters do not match this model architecture "
+                    "(tree structure / shapes / dtypes differ)")
+            print(f"[scae_tpu] warm start: params from {path} "
+                  f"step {step}")
+            self._warm_params = cached
+        return cached
 
     def _dataset_sizes(self):
         """Optional data_loader size overrides (synthetic fallback +

@@ -44,6 +44,25 @@ def test_checkpoint_save_restore_roundtrip(tmp_path):
     mgr.close()
 
 
+def test_restore_params_without_template(tmp_path):
+    """restore_params (the init_from warm-start path) recovers the
+    params subtree with no TrainState template — so the source run may
+    have used a different optimizer configuration."""
+    state = _tiny_state()
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(3, jax.device_get(state), metrics={"loss": 1.0})
+    mgr.wait()
+    params = mgr.restore_params()
+    ref_tree = jax.tree.map(lambda x: (x.shape, str(x.dtype)),
+                            jax.device_get(state.params))
+    got_tree = jax.tree.map(lambda x: (x.shape, str(x.dtype)), params)
+    assert ref_tree == got_tree
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()
+
+
 def test_checkpoint_top_k_retention(tmp_path):
     state = jax.device_get(_tiny_state())
     mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)

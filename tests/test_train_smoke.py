@@ -168,3 +168,86 @@ def test_seed_probe_selects_and_trains(tmp_path, capsys):
     # 64 synthetic - 32 val = 32 train / B=16 = 2 steps/epoch x 2 epochs
     # (the winner's 1 probe epoch counted toward the schedule)
     assert int(state.step) == 4
+
+
+_TINY_MODEL = [
+    "model.image_shape=[1,24,24]",
+    "model.n_part_caps=8",
+    "model.n_obj_caps=4",
+    "model.pcae_cnn_encoder_params.out_channels=[16,16,16,16]",
+    "model.pcae_template_generator_params.template_size=[6,6]",
+    "model.ocae_encoder_set_transformer_params.dim_hidden=8",
+    "model.ocae_encoder_set_transformer_params.dim_out=16",
+    "model.ocae_decoder_capsule_params.dim_caps=8",
+    "model.ocae_decoder_capsule_params.hidden_sizes=[16]",
+]
+
+
+def test_init_from_warm_starts_params(tmp_path, capsys):
+    """init_from=<ckpt dir>: a NEW run starts from another run's best
+    params (fresh optimizer/step), trains, and rejects architecture
+    mismatches loudly."""
+    from scae_tpu.config import load_config
+    from scae_tpu.train.loop import Trainer
+
+    def overrides(sub, extra=()):
+        return [
+            "data_loader.batch_size=16",
+            "trainer.max_epochs=1",
+            "trainer.log_every_steps=2",
+            f"trainer.checkpoint_dir={tmp_path}/{sub}/ckpt",
+            f"trainer.log_dir={tmp_path}/{sub}/logs",
+            "trainer.max_eval_batches=1",
+            "trainer.augment.canvas=24",
+            "trainer.augment.max_shift=2",
+            *_TINY_MODEL,
+            *extra,
+        ]
+
+    import scae_tpu.train.data as data_lib
+    orig = data_lib.load_datasets
+
+    def tiny_datasets(**kw):
+        kw.update(val_size=32, synthetic_train=64, synthetic_test=32)
+        return orig(**kw)
+
+    data_lib.load_datasets = tiny_datasets
+    try:
+        src = Trainer(load_config("config", overrides=overrides("a")))
+        src_state = src.run(max_epochs=1, max_steps=2)
+        src.ckpt.wait()
+
+        cfg_b = load_config("config", overrides=overrides(
+            "b", [f"init_from={tmp_path}/a/ckpt"]))
+        warm = Trainer(cfg_b)
+        warm.build_steps(steps_per_epoch=2)
+        state_b = warm.init_state(seed=7)
+        out = capsys.readouterr().out
+        assert "warm start: params from" in out
+        # params come from run A's checkpoint; step/opt restart fresh
+        assert int(state_b.step) == 0
+        for a, b in zip(jax.tree.leaves(jax.device_get(src_state.params)),
+                        jax.tree.leaves(state_b.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # and the warm-started run trains end to end
+        final = warm.run(max_epochs=1, max_steps=2)
+        assert int(final.step) == 2
+
+        # architecture mismatch is rejected, not silently reshaped
+        cfg_c = load_config("config", overrides=overrides(
+            "c", [f"init_from={tmp_path}/a/ckpt",
+                  "model.n_part_caps=6"]))
+        bad = Trainer(cfg_c)
+        bad.build_steps(steps_per_epoch=2)
+        with pytest.raises(ValueError, match="init_from"):
+            bad.init_state(seed=7)
+
+        # no checkpoints in the source dir: loud failure
+        cfg_d = load_config("config", overrides=overrides(
+            "d", [f"init_from={tmp_path}/empty"]))
+        t = Trainer(cfg_d)
+        t.build_steps(steps_per_epoch=2)
+        with pytest.raises(FileNotFoundError, match="no checkpoints"):
+            t.init_state(seed=7)
+    finally:
+        data_lib.load_datasets = orig
