@@ -75,6 +75,9 @@ class CheckpointManager:
             return raw["params"]
         return raw.params
 
+    def metrics(self, step: int) -> Optional[dict]:
+        return self._mgr.metrics(int(step))
+
     @property
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

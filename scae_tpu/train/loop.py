@@ -217,7 +217,19 @@ class Trainer:
         if cached is None:
             src = CheckpointManager(path, monitor=self.monitor,
                                     mode=self.monitor_mode)
-            step = src.best_step or src.latest_step
+            step = self.cfg.get("init_from_step")
+            if step is None:
+                # best by THIS run's monitor, but only if the source
+                # actually recorded that metric — a source trained
+                # under a different monitor ranks every checkpoint
+                # equal-worst and best_step would silently return an
+                # arbitrary one; fall back to the latest instead
+                best = src.best_step
+                if best is not None and self.monitor in (
+                        src.metrics(best) or {}):
+                    step = best
+                else:
+                    step = src.latest_step
             if step is None:
                 raise FileNotFoundError(
                     f"init_from={path!r} contains no checkpoints")

@@ -249,5 +249,36 @@ def test_init_from_warm_starts_params(tmp_path, capsys):
         t.build_steps(steps_per_epoch=2)
         with pytest.raises(FileNotFoundError, match="no checkpoints"):
             t.init_state(seed=7)
+
+        # a crafted source where best-by-val_loss (step 1) != latest
+        # (step 2): the current monitor picks best when the source
+        # recorded it, falls back to LATEST when it did not (a
+        # different-monitor source ranks all checkpoints equal-worst
+        # and best_step would silently return an arbitrary one), and
+        # init_from_step pins explicitly
+        from scae_tpu.train.checkpoint import CheckpointManager
+        src2 = CheckpointManager(f"{tmp_path}/src2", monitor="val_loss")
+        host_state = jax.device_get(src_state)
+        src2.save(1, host_state, metrics={"val_loss": 1.0})
+        src2.save(2, host_state, metrics={"val_loss": 5.0})
+        src2.wait()
+        src2.close()
+
+        def warm_step_printed(sub, extra):
+            cfg = load_config("config", overrides=overrides(
+                sub, [f"init_from={tmp_path}/src2", *extra]))
+            t = Trainer(cfg)
+            t.build_steps(steps_per_epoch=2)
+            t.init_state(seed=7)
+            return capsys.readouterr().out
+
+        assert "step 1" in warm_step_printed("e", [])  # best val_loss
+        assert "step 2" in warm_step_printed(
+            "f", ["trainer.monitor=val_accuracy",
+                  "trainer.monitor_mode=max"])          # fallback: latest
+        assert "step 1" in warm_step_printed(
+            "g", ["trainer.monitor=val_accuracy",
+                  "trainer.monitor_mode=max",
+                  "init_from_step=1"])                  # explicit pin
     finally:
         data_lib.load_datasets = orig
