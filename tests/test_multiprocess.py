@@ -108,3 +108,32 @@ def test_two_process_training_matches_single_process(tmp_path):
     p1_metrics = os.path.join(multi_dir, "logs_p1", "metrics.jsonl")
     assert (not os.path.exists(p1_metrics)
             or os.path.getsize(p1_metrics) == 0)
+
+    # --- multi-host RESUME: both processes restore the shared Orbax
+    # checkpoint (written at step 4 above) and continue to step 6; the
+    # result must match an uninterrupted single-process 6-step run
+    # (restore -> per-process global-array re-placement, train/loop.py)
+    port2 = _free_port()
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(pid), "2", str(port2), multi_dir,
+         "6", "resume"],
+        env=_env(1), stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for pid in (0, 1)]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), (
+        "\n--- p0 ---\n" + outs[0][-3000:] +
+        "\n--- p1 ---\n" + outs[1][-3000:])
+
+    res = subprocess.run(
+        [sys.executable, WORKER, "0", "1", "0", str(tmp_path / "s6"), "6"],
+        env=_env(2), capture_output=True, text=True, timeout=900)
+    assert res.returncode == 0, res.stderr[-3000:]
+
+    r0 = _read_result(multi_dir, 0)
+    r1 = _read_result(multi_dir, 1)
+    b6 = _read_result(str(tmp_path / "s6"), 0)
+    assert r0["step"] == r1["step"] == b6["step"] == 6
+    np.testing.assert_allclose(r0["params_l2"], r1["params_l2"],
+                               rtol=1e-12)
+    np.testing.assert_allclose(r0["params_l2"], b6["params_l2"],
+                               rtol=1e-6)

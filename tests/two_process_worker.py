@@ -1,13 +1,16 @@
 """Worker for the multi-process data-parallel test (not a test module).
 
-Usage: python tests/two_process_worker.py <pid> <nproc> <port> <outdir>
+Usage: python tests/two_process_worker.py <pid> <nproc> <port> <outdir> \
+           [max_steps] [resume]
 
-Runs a tiny Trainer config for 4 steps and writes
+Runs a tiny Trainer config for max_steps (default 4) and writes
 <outdir>/result_<pid>.json with the final step and a params checksum.
 With nproc>1 it joins a jax.distributed CPU cluster on 127.0.0.1:<port>
 (1 CPU device per process); the single-process baseline is launched with
 XLA_FLAGS=--xla_force_host_platform_device_count=<nproc> so the global
-mesh is identical and results must match.
+mesh is identical and results must match. With `resume`, restores the
+shared Orbax checkpoint and continues (the multi-host resume path:
+restore -> per-process re-placement as global arrays).
 """
 
 import json
@@ -29,6 +32,8 @@ import numpy as np  # noqa: E402
 def main():
     pid, nproc, port, outdir = (int(sys.argv[1]), int(sys.argv[2]),
                                 sys.argv[3], sys.argv[4])
+    max_steps = int(sys.argv[5]) if len(sys.argv) > 5 else 4
+    resume = len(sys.argv) > 6 and sys.argv[6] == "resume"
     if nproc > 1:
         jax.distributed.initialize(
             coordinator_address=f"127.0.0.1:{port}",
@@ -63,7 +68,8 @@ def main():
     ]
     cfg = load_config("config", overrides=overrides)
     trainer = Trainer(cfg)
-    state = trainer.run(max_epochs=1, max_steps=4)
+    state = trainer.run(max_epochs=max_steps, max_steps=max_steps,
+                        resume=resume)
 
     params = jax.device_get(state.params)
     leaves = jax.tree_util.tree_leaves(params)
