@@ -98,7 +98,10 @@ def test_gather_extreme_poses_match_xla():
     """Off-canvas / boundary poses: big translations and degenerate
     scales push every tap-validity branch (clipped indices with zero
     weights must reproduce grid_sample zero padding exactly)."""
-    B, M, C, Ht, Wt, H, W = 2, 16, 1, 11, 11, 40, 40
+    # small-shape family (matches test_gather_value_and_grads_small so
+    # the interpret-mode kernel trace is reused in-process); extreme
+    # translations push off-canvas at any canvas size
+    B, M, C, Ht, Wt, H, W = 2, 8, 1, 5, 5, 16, 16
     ks = jax.random.split(jax.random.PRNGKey(5), 8)
     templates = jax.random.uniform(ks[0], (B, M, C, Ht, Wt))
     alpha = jax.random.normal(ks[1], (1, M, 1, Ht, Wt))
@@ -123,7 +126,10 @@ def test_gather_partitions_over_data():
     its local batch; all math is per-example)."""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-    B, M, C, Ht, Wt, H, W = 8, 16, 1, 11, 11, 40, 40
+    # per-example math is shape-independent; the small shape keeps the
+    # 8 per-shard interpret instances cheap (flagship shapes run under
+    # -m slow and on real TPU)
+    B, M, C, Ht, Wt, H, W = 8, 8, 1, 5, 5, 16, 16
     args = _inputs(jax.random.PRNGKey(7), B, M, C, Ht, Wt, H, W)
 
     def loss(*a):
