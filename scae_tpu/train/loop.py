@@ -199,6 +199,60 @@ class Trainer:
             state = state.replace(params=warm)
         return state
 
+    def _patch_template_init(self, params, train_ds, seed: int):
+        """Data-driven template init (`trainer.template_init=patches`):
+        replace the QR-random template logits with M random content
+        crops from the training images, so templates START as
+        recognizable image fragments.
+
+        Motivation (RESULTS.md): training must otherwise discover part
+        structure from noise templates before the reconstruction term
+        pays, which on small/padded data is a bimodal escape lottery.
+        The reference's only init is QR noise (part_decoder.py:60-68).
+        Inverse-maps crops through the configured template_nonlin
+        (sigmoid -> logit; relu1 -> identity on [0,1])."""
+        tree = params["template_generator"]
+        shape = tree["template_logits"].shape      # (1, M, C, Ht, Wt)
+        _, M, C, Ht, Wt = shape
+        imgs = data_lib.to_nchw_float(train_ds.images)   # (N, C', H, W)
+        N, Ci, H, W = imgs.shape
+        if Ci != C or H < Ht or W < Wt:
+            raise ValueError(
+                f"template_init=patches: dataset images {imgs.shape[1:]} "
+                f"cannot provide ({C},{Ht},{Wt}) template crops")
+        rng = np.random.RandomState(seed)
+        crops, tries = [], 0
+        while len(crops) < M:
+            i = rng.randint(N)
+            y, x = rng.randint(H - Ht + 1), rng.randint(W - Wt + 1)
+            c = imgs[i, :, y:y + Ht, x:x + Wt]
+            # reject near-empty crops (background) unless we've been
+            # unlucky too long (e.g. a sparse dataset)
+            if c.mean() > 0.05 or tries > 50 * M:
+                crops.append(c)
+            tries += 1
+        p = np.clip(np.stack(crops)[None], 0.01, 0.99).astype(np.float32)
+        nonlin = self.model.template_generator.template_nonlin
+        if nonlin == "sigmoid":
+            logits = np.log(p / (1.0 - p))
+        else:
+            # relu1 is the identity on [0, 1]; other nonlins get the
+            # raw crop values (documented best-effort)
+            logits = p
+        print(f"[scae_tpu] template_init=patches: {M} crops from "
+              f"{N} train images (nonlin={nonlin})")
+        return {**params,
+                "template_generator": {**tree,
+                                       "template_logits":
+                                       jnp.asarray(logits)}}
+
+    def _maybe_patch_templates(self, state, train_ds, seed: int):
+        if (self.cfg.get("trainer") or {}).get("template_init") != \
+                "patches" or self.cfg.get("init_from"):
+            return state
+        return state.replace(params=self._patch_template_init(
+            state.params, train_ds, seed))
+
     def _warm_start_params(self, fresh_params):
         """Params from `init_from=<checkpoint_dir>` (warm start), or None.
 
@@ -419,6 +473,7 @@ class Trainer:
                 self.build_steps(spe)
                 built = True
             state = self.init_state(s)
+            state = self._maybe_patch_templates(state, train_ds, s)
             data = {
                 "image": make_global_array(train_ds.images, self.mesh,
                                            P()),
@@ -519,6 +574,7 @@ class Trainer:
                   f"{int(state.step)}")
         else:
             state = self.init_state(seed)
+            state = self._maybe_patch_templates(state, train_ds, seed)
         if resume and self.ckpt.latest_step is not None:
             state = self.ckpt.restore(state)
             print(f"[scae_tpu] resumed from step {int(state.step)}")

@@ -183,6 +183,69 @@ _TINY_MODEL = [
 ]
 
 
+def test_template_init_patches(tmp_path, capsys):
+    """trainer.template_init=patches: templates start as data crops
+    (logit-mapped through the configured nonlin), deterministically per
+    seed, and training proceeds."""
+    from scae_tpu.config import load_config
+    from scae_tpu.train.loop import Trainer
+
+    overrides = [
+        "data_loader.batch_size=16",
+        "trainer.max_epochs=1",
+        "trainer.log_every_steps=2",
+        f"trainer.checkpoint_dir={tmp_path}/ckpt",
+        f"trainer.log_dir={tmp_path}/logs",
+        "trainer.max_eval_batches=1",
+        "trainer.augment.canvas=24",
+        "trainer.augment.max_shift=2",
+        "trainer.template_init=patches",
+        "model.pcae_template_generator_params.template_nonlin=sigmoid",
+        *_TINY_MODEL,
+    ]
+    import scae_tpu.train.data as data_lib
+    orig = data_lib.load_datasets
+
+    def tiny_datasets(**kw):
+        kw.update(val_size=32, synthetic_train=64, synthetic_test=32)
+        return orig(**kw)
+
+    data_lib.load_datasets = tiny_datasets
+    try:
+        trainer = Trainer(load_config("config", overrides=overrides))
+        trainer.build_steps(steps_per_epoch=2)
+        train_ds, _, _, _ = data_lib.load_datasets(seed=5, image_size=24)
+
+        s1 = trainer._maybe_patch_templates(trainer.init_state(5),
+                                            train_ds, 5)
+        out = capsys.readouterr().out
+        assert "template_init=patches" in out
+        logits = s1.params["template_generator"]["template_logits"]
+        # sigmoid-mapped crops reach |logit(0.99)| ~ 4.6; the QR init
+        # lives in [0, 1] — the param is unmistakably crop-derived
+        assert float(jnp.abs(logits).max()) > 2.0
+        # deterministic per seed; different seed -> different crops
+        s1b = trainer._maybe_patch_templates(trainer.init_state(5),
+                                             train_ds, 5)
+        np.testing.assert_array_equal(
+            np.asarray(logits),
+            np.asarray(s1b.params["template_generator"]
+                       ["template_logits"]))
+        s2 = trainer._maybe_patch_templates(trainer.init_state(5),
+                                            train_ds, 6)
+        assert not np.array_equal(
+            np.asarray(logits),
+            np.asarray(s2.params["template_generator"]
+                       ["template_logits"]))
+
+        # end to end through the CLI-equivalent run path
+        state = trainer.run(max_epochs=1, max_steps=2)
+        assert int(state.step) == 2
+        assert "template_init=patches" in capsys.readouterr().out
+    finally:
+        data_lib.load_datasets = orig
+
+
 def test_init_from_warm_starts_params(tmp_path, capsys):
     """init_from=<ckpt dir>: a NEW run starts from another run's best
     params (fresh optimizer/step), trains, and rejects architecture
