@@ -231,15 +231,28 @@ def find_npz(data_dir: Optional[str]) -> Optional[Dict[str, np.ndarray]]:
 def load_datasets(data_dir: Optional[str] = None, val_size: int = 5000,
                   synthetic_train: int = 12000, synthetic_test: int = 2000,
                   seed: int = 42, image_size: int = 28,
-                  n_channels: int = 1, source: Optional[str] = None):
+                  n_channels: int = 1, source: Optional[str] = None,
+                  split_seed: Optional[int] = None):
     """(train, val, test) Datasets: npz dump > MNIST IDX > synthetic.
 
     `source` forces a specific origin: "npz"/"mnist" (must be found on
     disk), "digits" (sklearn's real handwritten digits, no files needed),
     or "synthetic". None keeps the on-disk-then-synthetic auto chain.
+
+    `split_seed` decouples the DATA from the run seed: when set, it keys
+    dataset content (synthetic generation / the digits holdout) and the
+    train/val split, while `seed` keeps keying only model init and noise
+    streams. The reference entangles the two (mnist/train.py
+    seed_everything keys both the random_split and the model); with
+    split_seed, independently-seeded runs see identical train/val/test
+    sets — the precondition for honest seed probes (candidates compared
+    on one split) and for ensembling runs at test time
+    (tools/ensemble_eval.py). None (default) preserves the entangled
+    behavior.
     """
     if source not in (None, "auto", "npz", "mnist", "digits", "synthetic"):
         raise ValueError(f"unknown data source {source!r}")
+    ss = seed if split_seed is None else int(split_seed)
     want = None if source == "auto" else source
     npz = find_npz(data_dir) if want in (None, "npz") else None
     mnist = (None if npz else find_mnist(data_dir)) \
@@ -258,13 +271,13 @@ def load_datasets(data_dir: Optional[str] = None, val_size: int = 5000,
         source = "mnist"
     elif want == "digits":
         tr_im, tr_lb, te_im, te_lb = real_digits(
-            size=image_size, n_channels=n_channels, seed=seed)
+            size=image_size, n_channels=n_channels, seed=ss)
         source = "digits"
     else:
-        tr_im, tr_lb = synthetic_digits(synthetic_train, seed=seed,
+        tr_im, tr_lb = synthetic_digits(synthetic_train, seed=ss,
                                         size=image_size,
                                         n_channels=n_channels)
-        te_im, te_lb = synthetic_digits(synthetic_test, seed=seed + 1,
+        te_im, te_lb = synthetic_digits(synthetic_test, seed=ss + 1,
                                         size=image_size,
                                         n_channels=n_channels)
         source = "synthetic"
@@ -272,7 +285,7 @@ def load_datasets(data_dir: Optional[str] = None, val_size: int = 5000,
     # reference: 55000/5000 random_split at seed (mnist/experiment.py:47)
     if val_size >= len(tr_im):  # small real datasets (e.g. digits, N=1500)
         val_size = max(len(tr_im) // 5, 1)
-    rng = np.random.RandomState(seed)
+    rng = np.random.RandomState(ss)
     perm = rng.permutation(len(tr_im))
     val_idx, train_idx = perm[:val_size], perm[val_size:]
     return (Dataset(tr_im[train_idx], tr_lb[train_idx]),

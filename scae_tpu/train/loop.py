@@ -105,6 +105,9 @@ class Trainer:
                               n_model=mesh_cfg.get("n_model", 1))
 
         self.batch_size = cfg["data_loader"]["batch_size"]
+        # when set, the data (content + splits) is keyed independently
+        # of the run seed — see data.load_datasets(split_seed=...)
+        self.split_seed = cfg["data_loader"].get("split_seed")
 
         self.log_dir = trainer_cfg.get("log_dir", "./logs")
         # TB event files only from process 0 (JSONL writes are already
@@ -407,6 +410,7 @@ class Trainer:
             data_dir=cfg["data_loader"].get("data_dir"), seed=seed,
             image_size=min(h, 28 if c == 1 else h), n_channels=c,
             source=cfg["data_loader"].get("source"),
+            split_seed=self.split_seed,
             **self._dataset_sizes())
         steps_per_epoch = max(len(train_ds) // self.batch_size, 1)
         self.build_steps(steps_per_epoch)
@@ -451,9 +455,12 @@ class Trainer:
         scan dispatches (spans bounded at ~16k steps like the main
         loop), so n probes cost one extra compile plus n short runs.
         The seed also keys the data split, so each candidate probes
-        its own split (as its full run would see). The probe score's
-        predictive value is measured: it rank-predicts final accuracy
-        (Spearman ~0.97 over 8 full runs, incl. a preregistered test).
+        its own split (as its full run would see) — unless
+        `data_loader.split_seed` is set, in which case all candidates
+        share one split and their scores compare without split noise.
+        The probe score's predictive value is measured: it
+        rank-predicts final accuracy (Spearman ~0.97 over 8 full runs,
+        incl. a preregistered test).
         """
         cfg = self.cfg
         c, h, _ = cfg["model"]["image_shape"]
@@ -465,6 +472,7 @@ class Trainer:
                 data_dir=cfg["data_loader"].get("data_dir"), seed=s,
                 image_size=min(h, 28 if c == 1 else h), n_channels=c,
                 source=cfg["data_loader"].get("source"),
+                split_seed=self.split_seed,
                 **self._dataset_sizes())
             spe = len(train_ds) // self.batch_size
             if spe <= 0:
@@ -548,7 +556,8 @@ class Trainer:
             if is_process_zero():
                 with open(os.path.join(self.ckpt.directory,
                                        "train_seed.json"), "w") as f:
-                    json.dump({"seed": seed}, f)
+                    json.dump({"seed": seed,
+                               "split_seed": self.split_seed}, f)
 
         c, h, _ = cfg["model"]["image_shape"]
         train_ds, val_ds, test_ds, source = data_lib.load_datasets(
@@ -557,6 +566,7 @@ class Trainer:
             image_size=min(h, 28 if c == 1 else h),
             n_channels=c,
             source=cfg["data_loader"].get("source"),
+            split_seed=self.split_seed,
             **self._dataset_sizes())
         print(f"[scae_tpu] dataset source: {source} "
               f"(train={len(train_ds)}, val={len(val_ds)}, "

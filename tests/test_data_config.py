@@ -193,6 +193,29 @@ def test_real_digits_source():
     np.testing.assert_array_equal(te.labels, te2.labels)
 
 
+def test_split_seed_decouples_data_from_run_seed():
+    """split_seed keys dataset content + splits; seed no longer does."""
+    # different run seeds, same split_seed -> identical data everywhere
+    a = data_lib.load_datasets(source="digits", seed=1, split_seed=7)
+    b = data_lib.load_datasets(source="digits", seed=2, split_seed=7)
+    for ds_a, ds_b in zip(a[:3], b[:3]):
+        np.testing.assert_array_equal(ds_a.images, ds_b.images)
+        np.testing.assert_array_equal(ds_a.labels, ds_b.labels)
+    # split_seed=N matches the legacy seed=N split exactly
+    c = data_lib.load_datasets(source="digits", seed=7)
+    np.testing.assert_array_equal(a[0].images, c[0].images)
+    np.testing.assert_array_equal(a[2].images, c[2].images)
+    # and without split_seed, different seeds still split differently
+    d = data_lib.load_datasets(source="digits", seed=1)
+    assert not np.array_equal(a[0].images, d[0].images)
+    # synthetic content is keyed by split_seed too
+    s1 = data_lib.load_datasets(source="synthetic", seed=1, split_seed=7,
+                                synthetic_train=256, synthetic_test=64)
+    s2 = data_lib.load_datasets(source="synthetic", seed=2, split_seed=7,
+                                synthetic_train=256, synthetic_test=64)
+    np.testing.assert_array_equal(s1[0].images, s2[0].images)
+
+
 def test_real_digits_color_and_size():
     tr_im, tr_lb, te_im, te_lb = data_lib.real_digits(size=32, n_channels=3)
     assert tr_im.shape == (1500, 32, 32, 3)
