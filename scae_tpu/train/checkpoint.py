@@ -91,3 +91,45 @@ class CheckpointManager:
 
     def close(self):
         self._mgr.close()
+
+
+class NullCheckpointManager:
+    """`trainer.save_top_k: 0` — checkpointing disabled.
+
+    Sweep/probe runs judged purely on logged metrics don't need model
+    snapshots; async Orbax saves cost seconds per eval on top-k churn
+    ("Waiting for previous save to complete" stalls). Keeps the
+    directory (the loop records train_seed.json there) and the full
+    manager surface so the training loop needs no branching.
+    """
+
+    def __init__(self, directory: str):
+        directory = os.path.abspath(directory)
+        os.makedirs(directory, exist_ok=True)
+        self.directory = directory
+
+    def save(self, step, state, metrics=None) -> bool:
+        return False
+
+    def restore(self, state_template, step=None):
+        raise AssertionError("checkpointing disabled (save_top_k=0)")
+
+    def restore_params(self, step=None):
+        raise AssertionError("checkpointing disabled (save_top_k=0)")
+
+    def metrics(self, step):
+        return None
+
+    @property
+    def latest_step(self):
+        return None
+
+    @property
+    def best_step(self):
+        return None
+
+    def wait(self):
+        pass
+
+    def close(self):
+        pass

@@ -45,7 +45,8 @@ from scae_tpu.parallel.train_step import (
 )
 from jax.sharding import PartitionSpec as P
 from scae_tpu.train import data as data_lib
-from scae_tpu.train.checkpoint import CheckpointManager
+from scae_tpu.train.checkpoint import (CheckpointManager,
+                                       NullCheckpointManager)
 from scae_tpu.train.metrics import (
     MetricsWriter,
     Profiler,
@@ -122,10 +123,16 @@ class Trainer:
         # keeps improving while accuracy degrades)
         self.monitor = trainer_cfg.get("monitor", "val_loss")
         self.monitor_mode = trainer_cfg.get("monitor_mode", "min")
-        self.ckpt = CheckpointManager(
-            trainer_cfg.get("checkpoint_dir", "./checkpoints"),
-            max_to_keep=trainer_cfg.get("save_top_k", 3),
-            monitor=self.monitor, mode=self.monitor_mode)
+        _top_k = trainer_cfg.get("save_top_k", 3)
+        _ckpt_dir = trainer_cfg.get("checkpoint_dir", "./checkpoints")
+        if _top_k == 0:
+            # sweep/probe runs judged on metrics alone: skip Orbax
+            # entirely (async save churn costs seconds per eval)
+            self.ckpt = NullCheckpointManager(_ckpt_dir)
+        else:
+            self.ckpt = CheckpointManager(
+                _ckpt_dir, max_to_keep=_top_k,
+                monitor=self.monitor, mode=self.monitor_mode)
 
         aug = trainer_cfg.get("augment") or {}
         model_hw = cfg["model"]["image_shape"][-1]

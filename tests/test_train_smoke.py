@@ -345,3 +345,49 @@ def test_init_from_warm_starts_params(tmp_path, capsys):
                   "init_from_step=1"])                  # explicit pin
     finally:
         data_lib.load_datasets = orig
+
+
+def test_save_top_k_zero_disables_checkpointing(tmp_path):
+    """trainer.save_top_k=0: sweep runs judged on metrics alone skip
+    Orbax entirely (NullCheckpointManager) — no checkpoint tree is
+    written, metrics/images still land, and resume/test raise cleanly."""
+    from scae_tpu.config import load_config
+    from scae_tpu.train.checkpoint import NullCheckpointManager
+    from scae_tpu.train.loop import Trainer
+
+    cfg = load_config("config", overrides=[
+        "data_loader.batch_size=16",
+        "trainer.max_epochs=1",
+        "trainer.log_every_steps=2",
+        "trainer.save_top_k=0",
+        f"trainer.checkpoint_dir={tmp_path}/ckpt",
+        f"trainer.log_dir={tmp_path}/logs",
+        "trainer.max_eval_batches=1",
+        "trainer.augment.canvas=24",
+        "trainer.augment.max_shift=2",
+        *_TINY_MODEL,
+    ])
+    import os
+
+    import scae_tpu.train.data as data_lib
+    orig = data_lib.load_datasets
+
+    def tiny_datasets(**kw):
+        kw.update(val_size=32, synthetic_train=128, synthetic_test=32)
+        return orig(**kw)
+
+    data_lib.load_datasets = tiny_datasets
+    try:
+        trainer = Trainer(cfg)
+        assert isinstance(trainer.ckpt, NullCheckpointManager)
+        state = trainer.run(max_epochs=1, max_steps=4)
+    finally:
+        data_lib.load_datasets = orig
+
+    assert int(state.step) == 4
+    assert trainer.ckpt.latest_step is None
+    # the dir holds only the recorded training seed, no Orbax tree
+    assert set(os.listdir(f"{tmp_path}/ckpt")) <= {"train_seed.json"}
+    assert os.path.exists(f"{tmp_path}/logs/metrics.jsonl")
+    with pytest.raises(AssertionError, match="no checkpoint to test"):
+        trainer.run_test()
