@@ -44,8 +44,13 @@ class CheckpointManager:
         )
         self._mgr = ocp.CheckpointManager(directory, options=options)
 
-    def save(self, step: int, state: TrainState,
+    def save(self, step: int, state: Any,
              metrics: Optional[dict] = None) -> bool:
+        """`state` may be a TrainState or a zero-arg thunk producing one
+        (the loop passes a thunk so a disabled manager never pays the
+        device→host transfer)."""
+        if callable(state):
+            state = state()
         metrics = {k: float(v) for k, v in (metrics or {}).items()}
         return self._mgr.save(
             int(step), args=ocp.args.StandardSave(state), metrics=metrics)

@@ -125,7 +125,7 @@ class Trainer:
         self.monitor_mode = trainer_cfg.get("monitor_mode", "min")
         _top_k = trainer_cfg.get("save_top_k", 3)
         _ckpt_dir = trainer_cfg.get("checkpoint_dir", "./checkpoints")
-        if _top_k == 0:
+        if _top_k <= 0:
             # sweep/probe runs judged on metrics alone: skip Orbax
             # entirely (async save churn costs seconds per eval)
             self.ckpt = NullCheckpointManager(_ckpt_dir)
@@ -728,8 +728,10 @@ class Trainer:
                         f"trainer.monitor={self.monitor!r} not in eval "
                         f"metrics {sorted(val_metrics)} (empty means the "
                         "val split is smaller than one batch)")
+                # state is passed lazily so the NullCheckpointManager
+                # (save_top_k=0) never pulls the train state to host
                 self.ckpt.save(
-                    global_step, jax.device_get(state),
+                    global_step, lambda: jax.device_get(state),
                     metrics={self.monitor: float(
                         val_metrics[self.monitor])})
                 # keep images_per_sec clean: don't charge eval/ckpt wall

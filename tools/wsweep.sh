@@ -22,9 +22,13 @@ run() {
   fi
   echo "== $name: $*"
   mkdir -p "logs/r3_wsweep/$name"
+  # checkpoint_dir lives inside the log dir: under save_top_k=0 the
+  # Null manager writes only train_seed.json there, and keeping it
+  # next to metrics.jsonl preserves the run's recorded seed/split
+  # (reproducibility of the preregistered runs)
   $BASE "$@" \
     "trainer.log_dir=logs/r3_wsweep/$name" \
-    "trainer.checkpoint_dir=/tmp/wsweep_ckpt/$name" \
+    "trainer.checkpoint_dir=logs/r3_wsweep/$name/ckpt" \
     > "logs/r3_wsweep/$name/stdout.log" 2>&1 \
     && touch "logs/r3_wsweep/$name/DONE"
   echo "== $name exit=$?"

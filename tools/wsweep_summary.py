@@ -15,8 +15,9 @@ ROOT = os.path.join(os.path.dirname(__file__), "..", "logs", "r3_wsweep")
 
 def summarize(d):
     path = os.path.join(ROOT, d, "metrics.jsonl")
-    vals = [r for r in map(json.loads, open(path))
-            if "val_accuracy" in r]
+    with open(path) as f:
+        vals = [r for r in map(json.loads, f)
+                if "val_accuracy" in r and "val_rec_ll_loss" in r]
     if not vals:
         return None
     pk = max(vals, key=lambda r: r["val_accuracy"])
@@ -41,7 +42,9 @@ def main():
           "min val_rec_ll | done |")
     print("|---|---|---|---|---|---|")
     for d, n, pk, st, fin, mn, done in rows:
-        print(f"| {d} | {n}/40 | {pk:.3f} ({st}) | {fin:.3f} "
+        # n = completed eval passes (max_epochs / eval_every_epochs of
+        # the run's own recipe; 40 for the 2000-epoch/eval-50 sweep)
+        print(f"| {d} | {n} | {pk:.3f} ({st}) | {fin:.3f} "
               f"| {mn:.1f} | {'yes' if done else 'RUNNING'} |")
 
 
