@@ -151,6 +151,7 @@ def test_augment_fn_affine_off_by_default_matches_translate_only():
 # ------------------------------------------------------------- config
 
 
+@pytest.mark.smoke
 def test_load_config_defaults_and_overrides():
     cfg = load_config("config")
     assert cfg["optimizer"]["name"] == "rmsprop"
@@ -171,6 +172,7 @@ def test_load_config_defaults_and_overrides():
     assert cfg["trainer"]["new_key"] == "hello"
 
 
+@pytest.mark.smoke
 def test_config_model_feeds_factory():
     from scae_tpu.factory import prepare_model_params
     cfg = load_config("config")

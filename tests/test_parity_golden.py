@@ -22,6 +22,11 @@ from scae_tpu.utils import torch_port
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 
+# the torch-parity goldens are the smoke tier's core (README "Test
+# tiers"); the full-model goldens keep their additional `slow` mark
+# (smoke runs deselect them via -m "smoke and not slow")
+pytestmark = pytest.mark.smoke
+
 
 def load(name):
     data = dict(np.load(os.path.join(GOLDEN, f"{name}.npz")))

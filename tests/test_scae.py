@@ -28,6 +28,7 @@ def forward_res(model_and_vars):
     return jax.jit(lambda v, x: model.apply(v, x))(variables, img)
 
 
+@pytest.mark.smoke
 def test_forward_shapes(forward_res):
     res = forward_res
     M, O = 16, 10
@@ -41,6 +42,7 @@ def test_forward_shapes(forward_res):
     assert res.posterior_cls_prob.shape == (4, 10)
 
 
+@pytest.mark.smoke
 def test_loss_and_log_terms(model_and_vars, forward_res):
     model, variables, img = model_and_vars
     res = forward_res

@@ -98,6 +98,15 @@ def main():
     with open("/root/reference/torch_scae_experiments/configs/model/"
               "mnist.yaml") as f:
         cfg = yaml.safe_load(f)["model"]
+    # the reference applies capsule presence-logit noise UNCONDITIONALLY
+    # (object_decoder.py:198-212 — no self.training gate), so its "eval"
+    # is stochastic. Noise has no trained parameters; both sides eval
+    # with it off, which is what a migrating user gets from scae_tpu's
+    # deterministic=True eval.
+    cfg["ocae_decoder_capsule_params"] = {
+        **cfg["ocae_decoder_capsule_params"],
+        "noise_type": None, "noise_scale": 0.0,
+    }
 
     from torch_scae import factory as ref_factory  # noqa: E402
 
