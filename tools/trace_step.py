@@ -5,7 +5,10 @@ The per-stage wall timers (profile_step/profile_scan) are dominated by
 tunnel variance at ~1 ms granularity; the xplane trace gives exact
 device-side op durations. Usage:
 
-    python tools/trace_step.py [impl] [batch]   # impl: gather|xla
+    python tools/trace_step.py [impl] [batch] [config]
+    # impl: gather|xla|auto; config: flagship|mnist28|svhn|cifar10
+    # (staged configs import bench.py's CONFIGS so the traced shapes
+    # are exactly the benched shapes)
 
 Parses the raw .xplane.pb with tensorflow's xplane proto (the
 tensorboard profile plugin is too heavy to drive headless).
@@ -25,7 +28,18 @@ import numpy as np
 
 IMPL = sys.argv[1] if len(sys.argv) > 1 else "gather"
 BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+CONFIG = sys.argv[3] if len(sys.argv) > 3 else "flagship"
 SCAN_STEPS = 20
+
+
+def _config():
+    """(model kwargs, data size, canvas) — staged shapes from bench.py."""
+    if CONFIG == "flagship":
+        return (dict(image_shape=(1, 40, 40), n_classes=10,
+                     n_part_caps=40, n_obj_caps=32), 28, 40)
+    from bench import CONFIGS
+
+    return CONFIGS[CONFIG]
 
 
 def build_step():
@@ -37,27 +51,34 @@ def build_step():
     )
     from scae_tpu.train.loop import make_augment_fn
 
-    model = make_scae(dict(
-        image_shape=(1, 40, 40), n_classes=10,
-        n_part_caps=40, n_obj_caps=32,
-        pcae_cnn_encoder_params=dict(compute_dtype="bfloat16"),
-        pcae_decoder_params=dict(fused_impl=IMPL,
-                                 fused_tap_dtype="bfloat16"),
-        scae_params=dict(reconstruct_alternatives=False),
-    ))
+    mk, data_size, canvas = _config()
+    mk = dict(mk)
+    mk.setdefault("pcae_cnn_encoder_params",
+                  dict(compute_dtype="bfloat16"))
+    pd = dict(mk.get("pcae_decoder_params") or {})
+    pd.setdefault("fused_tap_dtype", "bfloat16")
+    pd["fused_impl"] = IMPL
+    mk["pcae_decoder_params"] = pd
+    sp = dict(mk.get("scae_params") or {})
+    sp.setdefault("reconstruct_alternatives", False)
+    mk["scae_params"] = sp
+    model = make_scae(mk)
+    c, h, _ = mk["image_shape"]
     tx = make_optimizer("rmsprop", 3e-5, batch_size=BATCH)
-    augment = make_augment_fn(canvas=40, max_shift=6)
+    augment = make_augment_fn(canvas=canvas,
+                              max_shift=6 if canvas > data_size else 0)
     jscan = make_train_scan(model, tx, augment, donate=False)
 
     rng = np.random.RandomState(0)
     n_data = 1024
+    raw_shape = (n_data, data_size, data_size) if c == 1 else \
+        (n_data, data_size, data_size, c)
     data = {
-        "image": jnp.asarray(
-            rng.randint(0, 256, (n_data, 28, 28)), jnp.uint8),
+        "image": jnp.asarray(rng.randint(0, 256, raw_shape), jnp.uint8),
         "label": jnp.asarray(rng.randint(0, 10, n_data), jnp.int32),
     }
     example = {
-        "image": jnp.zeros((BATCH, 1, 40, 40), jnp.float32),
+        "image": jnp.zeros((BATCH, c, h, h), jnp.float32),
         "label": jnp.zeros((BATCH,), jnp.int32),
     }
     state = create_train_state(model, tx, example, jax.random.PRNGKey(0))
