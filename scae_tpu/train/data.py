@@ -214,18 +214,26 @@ class Dataset:
 
 def find_npz(data_dir: Optional[str]) -> Optional[Dict[str, np.ndarray]]:
     """Generic dataset dump: <dir>/{train,test}.npz with images/labels
-    keys (covers locally prepared SVHN/CIFAR in a zero-egress box)."""
-    if not data_dir or not os.path.isdir(data_dir):
-        return None
-    out = {}
-    for split in ("train", "test"):
-        path = os.path.join(data_dir, f"{split}.npz")
-        if not os.path.exists(path):
-            return None
-        with np.load(path) as z:
-            out[f"{split}_images"] = z["images"]
-            out[f"{split}_labels"] = z["labels"]
-    return out
+    keys (covers locally prepared SVHN/CIFAR in a zero-egress box).
+    Searches the same candidate chain as find_mnist (explicit dir, then
+    SCAE_TPU_DATA_DIR and the standard locations)."""
+    candidates = ([data_dir] if data_dir else []) + [p for p in _SEARCH_PATHS
+                                                     if p]
+    for root in candidates:
+        if not os.path.isdir(root):
+            continue
+        out = {}
+        for split in ("train", "test"):
+            path = os.path.join(root, f"{split}.npz")
+            if not os.path.exists(path):
+                out = None
+                break
+            with np.load(path) as z:
+                out[f"{split}_images"] = z["images"]
+                out[f"{split}_labels"] = z["labels"]
+        if out is not None:
+            return out
+    return None
 
 
 def load_datasets(data_dir: Optional[str] = None, val_size: int = 5000,

@@ -91,3 +91,18 @@ def test_npz_float_input_normalized_and_loader_roundtrip(tmp_path):
         data_dir=str(tmp_path / "dst"), val_size=4)
     assert source == "npz"
     assert len(train) == 20 and len(val) == 4 and len(test) == 8
+
+def test_npz_found_via_env_search_path(tmp_path, monkeypatch):
+    """SCAE_TPU_DATA_DIR must locate npz dumps, not just MNIST IDX files
+    (the documented synth_mnist60k -> prepare_data -> env-var workflow)."""
+    rng = np.random.RandomState(3)
+    for split, n in (("train", 12), ("test", 4)):
+        np.savez(tmp_path / f"{split}.npz",
+                 images=rng.randint(0, 255, (n, 28, 28), dtype=np.uint8),
+                 labels=rng.randint(0, 10, (n,)))
+    import scae_tpu.train.data as data_lib
+    monkeypatch.setattr(data_lib, "_SEARCH_PATHS", (str(tmp_path),))
+    out = data_lib.find_npz(None)
+    assert out is not None and out["train_images"].shape == (12, 28, 28)
+    # explicit dir still wins over the search path
+    assert data_lib.find_npz(str(tmp_path)) is not None

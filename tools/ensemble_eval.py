@@ -133,6 +133,12 @@ def main(argv=None):
         print(f"[ensemble] {run}: "
               f"prior={acc(pri):.4f} posterior={acc(post):.4f} "
               f"best={max(acc(pri), acc(post)):.4f}")
+    for k in range(2, len(per_model)):   # cumulative-K curve (run order)
+        pri_k = np.mean([m[0] for m in per_model[:k]], axis=0)
+        post_k = np.mean([m[1] for m in per_model[:k]], axis=0)
+        print(f"[ensemble] K={k}: prior={acc(pri_k):.4f} "
+              f"posterior={acc(post_k):.4f} "
+              f"best={max(acc(pri_k), acc(post_k)):.4f}")
     mean_pri = np.mean([m[0] for m in per_model], axis=0)
     mean_post = np.mean([m[1] for m in per_model], axis=0)
     result = {
