@@ -186,8 +186,14 @@ def main():
                 extras[name] = "skipped:time_budget"
                 continue
             try:
+                # 200 steps/dispatch: the staged shapes run 1.1-2.6 ms
+                # device steps, so the ~30 ms tunnel-dispatch RTT was
+                # 15-33% of a 50-step scan's wall (measured round 4 —
+                # logs/r4_traces vs BENCH_r03). Real training dispatches
+                # eval-period-long scans (train/loop.py chunking), so
+                # long scans are the representative measurement.
                 ips_c, mfu_c = _bench_config(mk, data_size, canvas,
-                                             scan_steps=50, repeats=3,
+                                             scan_steps=200, repeats=3,
                                              fused_impl=fused_impl)
                 extras[name] = {"images_per_sec": round(ips_c, 1)}
                 if mfu_c is not None:
