@@ -19,6 +19,6 @@ OCAE (`SetTransformer`, `CapsuleLayer`, `CapsuleObjectDecoder`), and the
 ``SCAE`` composite with its 8-term loss.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from scae_tpu import factory  # noqa: F401

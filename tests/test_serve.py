@@ -1,0 +1,106 @@
+"""AOT export/serving roundtrip (scae_tpu/serve.py).
+
+The serving artifact must (a) reproduce the live model exactly, (b) be
+self-contained — deserializable and callable through jax.export alone,
+with params baked in — and (c) refuse nothing a trained checkpoint
+workflow needs (tools/export_model.py drives the checkpoint side; here
+the model comes from a fresh init, which exercises the identical path).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sample_hparams import small_model_params
+
+from scae_tpu import serve
+from scae_tpu.factory import make_scae
+
+BATCH = 4
+
+
+def _tiny_model():
+    mk = small_model_params(
+        pcae_decoder_params=dict(fused_impl="xla"))
+    model = make_scae(mk)
+    img = jnp.zeros((BATCH, *mk["image_shape"]), jnp.float32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, image=img,
+                        deterministic=True)["params"]
+    return model, params, mk
+
+
+@pytest.fixture(scope="module")
+def exported_dir(tmp_path_factory):
+    model, params, mk = _tiny_model()
+    out = tmp_path_factory.mktemp("artifact")
+    serve.export_serving(model, params, image_shape=mk["image_shape"],
+                         batch_size=BATCH,
+                         out_dir=str(out), with_reconstruction=True,
+                         platforms=("cpu",), model_config=mk)
+    return str(out), model, params
+
+
+def test_roundtrip_matches_live_model(exported_dir):
+    out, model, params = exported_dir
+    served = serve.load_serving(out)
+    rng = np.random.RandomState(1)
+    batch = jnp.asarray(rng.rand(BATCH, 1, 28, 28), jnp.float32)
+
+    got = served(batch)
+    want = serve.make_infer_fn(model, with_reconstruction=True)(
+        params, batch)
+    assert set(got.keys()) == set(want.keys())
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                    rtol=1e-4, atol=1e-5, err_msg=k)
+    assert got["prediction"].shape == (BATCH,)
+    assert got["reconstruction"].shape == (BATCH, 1, 28, 28)
+
+
+def test_artifact_is_self_contained(exported_dir):
+    """Deserialize + call with NO scae_tpu model object in sight."""
+    out, _, _ = exported_dir
+    from jax import export as jax_export
+
+    with open(os.path.join(out, serve.ARTIFACT_NAME), "rb") as f:
+        exported = jax_export.deserialize(bytearray(f.read()))
+    batch = jnp.zeros((BATCH, 1, 28, 28), jnp.float32)
+    res = jax.jit(exported.call)(batch)
+    assert "posterior_cls_prob" in res
+    probs = np.asarray(res["posterior_cls_prob"])
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
+
+
+def test_manifest_records_contract(exported_dir):
+    out, _, _ = exported_dir
+    served = serve.load_serving(out)
+    m = served.manifest
+    assert m["input"]["shape"] == [BATCH, 1, 28, 28]
+    assert m["input"]["layout"] == "NCHW"
+    assert "prediction" in m["outputs"]
+    assert m["model_config"]["n_part_caps"] == 16
+    assert served.input_shape == (BATCH, 1, 28, 28)
+
+
+def test_batch_size_mismatch_rejected(exported_dir):
+    out, _, _ = exported_dir
+    served = serve.load_serving(out)
+    bad = jnp.zeros((BATCH + 1, 1, 28, 28), jnp.float32)
+    with pytest.raises(Exception):
+        served(bad)
+
+
+def test_infer_fn_without_classes():
+    """n_classes=None models export the unsupervised surface only."""
+    mk = small_model_params(n_classes=None,
+                            pcae_decoder_params=dict(fused_impl="xla"))
+    model = make_scae(mk)
+    img = jnp.zeros((2, *mk["image_shape"]), jnp.float32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, image=img,
+                        deterministic=True)["params"]
+    out = serve.make_infer_fn(model)(params, img)
+    assert "prediction" not in out
+    assert out["caps_presence"].shape[0] == 2
