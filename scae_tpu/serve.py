@@ -76,14 +76,25 @@ def export_serving(model, params, *, image_shape: Sequence[int],
                    batch_size: int, out_dir: str,
                    with_reconstruction: bool = False,
                    platforms: Sequence[str] = ("cpu", "tpu"),
-                   model_config: dict | None = None) -> str:
+                   model_config: dict | None = None,
+                   mesh=None, batch_axis: str = "data") -> str:
     """Export ``model`` + trained ``params`` as a serving artifact.
 
     ``image_shape`` is the model's (C, H, W). Returns the artifact
     directory. ``platforms`` controls the lowering targets;
     cross-platform lowering needs no physical device, so a CPU box can
     produce a TPU-servable artifact.
+
+    Pass a ``jax.sharding.Mesh`` to export a DATA-SHARDED serving
+    program: the batch dim is partitioned over ``batch_axis`` and the
+    artifact records the sharding — at load time it must be called with
+    the same device count, and serves batch-parallel over the mesh
+    (jax.export serializes per-input shardings; ``Exported.nr_devices``
+    documents the requirement). Single-device artifacts (mesh=None) are
+    the portable default.
     """
+    from jax.sharding import NamedSharding, PartitionSpec
+
     from scae_tpu import __version__
 
     infer = make_infer_fn(model, with_reconstruction=with_reconstruction)
@@ -95,8 +106,12 @@ def export_serving(model, params, *, image_shape: Sequence[int],
 
     c, h, w = image_shape
     spec = jax.ShapeDtypeStruct((batch_size, c, h, w), jnp.float32)
-    exported = jax_export.export(jax.jit(serving_fn),
-                                 platforms=list(platforms))(spec)
+    if mesh is not None:
+        in_shardings = NamedSharding(mesh, PartitionSpec(batch_axis))
+        fn = jax.jit(serving_fn, in_shardings=in_shardings)
+    else:
+        fn = jax.jit(serving_fn)
+    exported = jax_export.export(fn, platforms=list(platforms))(spec)
 
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, ARTIFACT_NAME), "wb") as f:
@@ -108,6 +123,8 @@ def export_serving(model, params, *, image_shape: Sequence[int],
                   "layout": "NCHW", "range": "[0, 1]"},
         "outputs": out_names,
         "platforms": list(platforms),
+        "nr_devices": exported.nr_devices,
+        "batch_axis": batch_axis if mesh is not None else None,
         "with_reconstruction": with_reconstruction,
         "jax_version": jax.__version__,
         "scae_tpu_version": __version__,

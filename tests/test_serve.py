@@ -104,3 +104,31 @@ def test_infer_fn_without_classes():
     out = serve.make_infer_fn(model)(params, img)
     assert "prediction" not in out
     assert out["caps_presence"].shape[0] == 2
+
+
+def test_data_sharded_export_over_mesh():
+    """Mesh export: artifact records the batch sharding + device count
+    and serves batch-parallel (8-device virtual mesh)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    model, params, mk = _tiny_model()
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    import tempfile
+    with tempfile.TemporaryDirectory() as out:
+        serve.export_serving(model, params, image_shape=mk["image_shape"],
+                             batch_size=16, out_dir=out,
+                             platforms=("cpu",), mesh=mesh,
+                             model_config=mk)
+        served = serve.load_serving(out)
+        assert served.manifest["nr_devices"] == 8
+        assert served.manifest["batch_axis"] == "data"
+
+        sh = NamedSharding(mesh, PartitionSpec("data"))
+        rng = np.random.RandomState(3)
+        batch = jax.device_put(
+            jnp.asarray(rng.rand(16, 1, 28, 28), jnp.float32), sh)
+        got = served(batch)
+        want = serve.make_infer_fn(model)(params, batch)
+        np.testing.assert_allclose(
+            np.asarray(got["posterior_cls_prob"]),
+            np.asarray(want["posterior_cls_prob"]), rtol=1e-4, atol=1e-5)
