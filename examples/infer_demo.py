@@ -23,7 +23,10 @@ Serving notes: the jitted forward is compiled once per (batch, image)
 shape; keep batch fixed and pad the tail (as done below) for a single
 compilation. The same function runs unchanged under a multi-chip
 `Mesh` by sharding the batch axis (scae_tpu.parallel) — per-chip
-throughput numbers are in BASELINE.md.
+throughput numbers are in BASELINE.md. For deployment WITHOUT the
+model code, export a self-contained AOT artifact instead:
+`tools/export_model.py` / `scae_tpu.serve` (jax.export StableHLO,
+params baked in, optional mesh-sharded batch).
 """
 
 import json
