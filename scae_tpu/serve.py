@@ -77,7 +77,8 @@ def export_serving(model, params, *, image_shape: Sequence[int],
                    with_reconstruction: bool = False,
                    platforms: Sequence[str] = ("cpu", "tpu"),
                    model_config: dict | None = None,
-                   mesh=None, batch_axis: str = "data") -> str:
+                   mesh=None, batch_axis: str = "data",
+                   polymorphic_batch: bool = False) -> str:
     """Export ``model`` + trained ``params`` as a serving artifact.
 
     ``image_shape`` is the model's (C, H, W). Returns the artifact
@@ -92,6 +93,16 @@ def export_serving(model, params, *, image_shape: Sequence[int],
     (jax.export serializes per-input shardings; ``Exported.nr_devices``
     documents the requirement). Single-device artifacts (mesh=None) are
     the portable default.
+
+    ``polymorphic_batch=True`` exports with a SYMBOLIC batch dimension
+    (``jax.export.symbolic_shape``): one artifact serves any batch size
+    ≥ 1 — the realistic serving contract, where request batches vary.
+    The whole model is batch-parallel (no cross-batch reduction on the
+    inference path), so the lowering is exact, and the embedded shape
+    assertions reject non-batch shape drift at call time as before.
+    Mutually exclusive with ``mesh`` (a serialized sharding constrains
+    the concrete batch partitioning; shard the polymorphic artifact's
+    inputs at the caller instead).
     """
     from jax.sharding import NamedSharding, PartitionSpec
 
@@ -105,26 +116,40 @@ def export_serving(model, params, *, image_shape: Sequence[int],
         return infer(params, image)
 
     c, h, w = image_shape
-    spec = jax.ShapeDtypeStruct((batch_size, c, h, w), jnp.float32)
-    if mesh is not None:
-        in_shardings = NamedSharding(mesh, PartitionSpec(batch_axis))
-        fn = jax.jit(serving_fn, in_shardings=in_shardings)
-    else:
+    if polymorphic_batch:
+        if mesh is not None:
+            raise ValueError(
+                "polymorphic_batch and mesh are mutually exclusive: a "
+                "serialized sharding pins the batch partitioning")
+        (b_dim,) = jax_export.symbolic_shape("b")
+        spec = jax.ShapeDtypeStruct((b_dim, c, h, w), jnp.float32)
         fn = jax.jit(serving_fn)
+    else:
+        spec = jax.ShapeDtypeStruct((batch_size, c, h, w), jnp.float32)
+        if mesh is not None:
+            in_shardings = NamedSharding(mesh, PartitionSpec(batch_axis))
+            fn = jax.jit(serving_fn, in_shardings=in_shardings)
+        else:
+            fn = jax.jit(serving_fn)
     exported = jax_export.export(fn, platforms=list(platforms))(spec)
 
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, ARTIFACT_NAME), "wb") as f:
         f.write(exported.serialize())
 
-    out_names = sorted(jax.eval_shape(serving_fn, spec).keys())
+    out_names = sorted(jax.eval_shape(
+        serving_fn,
+        jax.ShapeDtypeStruct((batch_size, c, h, w), jnp.float32)).keys())
     manifest = {
-        "input": {"shape": [batch_size, c, h, w], "dtype": "float32",
+        # batch None = symbolic: the artifact serves any batch size
+        "input": {"shape": [None if polymorphic_batch else batch_size,
+                            c, h, w], "dtype": "float32",
                   "layout": "NCHW", "range": "[0, 1]"},
         "outputs": out_names,
         "platforms": list(platforms),
         "nr_devices": exported.nr_devices,
         "batch_axis": batch_axis if mesh is not None else None,
+        "polymorphic_batch": polymorphic_batch,
         "with_reconstruction": with_reconstruction,
         "jax_version": jax.__version__,
         "scae_tpu_version": __version__,
@@ -149,6 +174,7 @@ class ServingModel:
 
     @property
     def input_shape(self):
+        """(B, C, H, W); B is None for a polymorphic-batch artifact."""
         return tuple(self.manifest["input"]["shape"])
 
     def __call__(self, image):

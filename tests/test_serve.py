@@ -50,7 +50,9 @@ def test_roundtrip_matches_live_model(exported_dir):
     batch = jnp.asarray(rng.rand(BATCH, 1, 28, 28), jnp.float32)
 
     got = served(batch)
-    want = serve.make_infer_fn(model, with_reconstruction=True)(
+    # jit-to-jit comparison: eager execution can drift visibly on
+    # trained weights (tools/export_model.py note)
+    want = jax.jit(serve.make_infer_fn(model, with_reconstruction=True))(
         params, batch)
     assert set(got.keys()) == set(want.keys())
     for k in want:
@@ -106,6 +108,51 @@ def test_infer_fn_without_classes():
     assert out["caps_presence"].shape[0] == 2
 
 
+def test_polymorphic_batch_serves_any_size():
+    """symbolic-batch export: ONE artifact serves batch 1, 3, and 8,
+    each agreeing with the live model, and prefix-consistency holds
+    (batch-parallelism: running rows [0:b] equals slicing a larger run)."""
+    model, params, mk = _tiny_model()
+    import tempfile
+    with tempfile.TemporaryDirectory() as out:
+        serve.export_serving(model, params, image_shape=mk["image_shape"],
+                             batch_size=BATCH, out_dir=out,
+                             platforms=("cpu",), model_config=mk,
+                             polymorphic_batch=True)
+        served = serve.load_serving(out)
+        assert served.manifest["polymorphic_batch"] is True
+        assert served.input_shape == (None, 1, 28, 28)
+
+        rng = np.random.RandomState(5)
+        full = jnp.asarray(rng.rand(8, 1, 28, 28), jnp.float32)
+        want = jax.jit(serve.make_infer_fn(model))(params, full)
+        got8 = served(full)
+        np.testing.assert_allclose(
+            np.asarray(got8["posterior_cls_prob"]),
+            np.asarray(want["posterior_cls_prob"]), rtol=1e-4, atol=1e-5)
+        for b in (1, 3):
+            got = served(full[:b])
+            assert got["prediction"].shape == (b,)
+            np.testing.assert_allclose(
+                np.asarray(got["posterior_cls_prob"]),
+                np.asarray(want["posterior_cls_prob"])[:b],
+                rtol=1e-4, atol=1e-5)
+
+
+def test_polymorphic_batch_rejects_mesh():
+    model, params, mk = _tiny_model()
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    import tempfile
+    with tempfile.TemporaryDirectory() as out:
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            serve.export_serving(model, params,
+                                 image_shape=mk["image_shape"],
+                                 batch_size=16, out_dir=out,
+                                 platforms=("cpu",), mesh=mesh,
+                                 model_config=mk, polymorphic_batch=True)
+
+
 def test_data_sharded_export_over_mesh():
     """Mesh export: artifact records the batch sharding + device count
     and serves batch-parallel (8-device virtual mesh)."""
@@ -128,7 +175,7 @@ def test_data_sharded_export_over_mesh():
         batch = jax.device_put(
             jnp.asarray(rng.rand(16, 1, 28, 28), jnp.float32), sh)
         got = served(batch)
-        want = serve.make_infer_fn(model)(params, batch)
+        want = jax.jit(serve.make_infer_fn(model))(params, batch)
         np.testing.assert_allclose(
             np.asarray(got["posterior_cls_prob"]),
             np.asarray(want["posterior_cls_prob"]), rtol=1e-4, atol=1e-5)

@@ -58,6 +58,7 @@ def main(argv=None):
 
     served = serve.load_serving(args.artifact_dir)
     b, c, h, w = served.input_shape
+    b = b or 128  # polymorphic-batch artifact: pick a serving batch
     rng = np.random.RandomState(0)
     batch = jnp.asarray(rng.rand(b, c, h, w), jnp.float32)
     sync_key = ("posterior_cls_prob"

@@ -13,8 +13,9 @@ Usage:
         [-- config overrides matching the run, e.g. model=mnist28]
 
 After export, sanity-verifies the artifact: deserializes it and checks
-its outputs against the live model on a random batch (exact match — the
-artifact embeds the same params and both run on this host's backend).
+its outputs against the JITTED live model on a random batch (~1e-6
+numeric agreement + exact prediction equality; see the in-code note on
+why the comparison must be jit-to-jit).
 """
 
 import argparse
@@ -24,6 +25,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -44,6 +46,12 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--with-reconstruction", action="store_true")
     ap.add_argument("--platforms", nargs="+", default=["cpu", "tpu"])
+    ap.add_argument("--rtol", type=float, default=1e-4)
+    ap.add_argument("--atol", type=float, default=1e-5)
+    ap.add_argument("--polymorphic-batch", action="store_true",
+                    help="export with a symbolic batch dim: one artifact "
+                         "serves any batch size (verified at "
+                         "--batch-size and --batch-size//2+1)")
     args = ap.parse_args(argv)
 
     cfg = load_config("config", overrides=overrides)
@@ -68,25 +76,55 @@ def main(argv=None):
         model, params, image_shape=mk["image_shape"],
         batch_size=args.batch_size, out_dir=args.out,
         with_reconstruction=args.with_reconstruction,
-        platforms=args.platforms, model_config=mk)
+        platforms=args.platforms, model_config=mk,
+        polymorphic_batch=args.polymorphic_batch)
     size = os.path.getsize(os.path.join(out, serve.ARTIFACT_NAME))
     print(f"[export] wrote {out} ({size / 1e6:.1f} MB, "
           f"platforms={args.platforms})")
 
-    # roundtrip sanity: artifact output == live model output
+    # roundtrip sanity: artifact vs the JITTED live model. Compare
+    # jit-to-jit: eager (unjitted) execution differs from compiled by up
+    # to ~1e-1 on trained flagship weights (measured — op-by-op eager
+    # arithmetic through sharp attention softmaxes amplifies), while the
+    # deserialized artifact reproduces the jitted program to ~1e-6.
+    # Prediction equality is the hard serving invariant on top.
     served = serve.load_serving(out)
     c, h, w = mk["image_shape"]
     rng = np.random.RandomState(0)
     batch = jnp.asarray(rng.rand(args.batch_size, c, h, w), jnp.float32)
     got = served(batch)
-    want = serve.make_infer_fn(
-        model, with_reconstruction=args.with_reconstruction)(params, batch)
-    for k in want:
-        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
-                                   rtol=1e-4, atol=1e-5, err_msg=k)
+    want = jax.jit(serve.make_infer_fn(
+        model, with_reconstruction=args.with_reconstruction))(params, batch)
+    for k in sorted(want):
+        g, v = np.asarray(got[k]), np.asarray(want[k])
+        if k.endswith("prediction"):
+            n_diff = int(np.sum(g != v))
+            print(f"[export]   {k}: {n_diff}/{g.size} predictions differ")
+            assert n_diff == 0, f"{k}: artifact predictions diverge"
+        else:
+            denom = np.maximum(np.abs(v), 1e-6)
+            print(f"[export]   {k}: max_abs={np.max(np.abs(g - v)):.2e} "
+                  f"max_rel={np.max(np.abs(g - v) / denom):.2e}")
+            np.testing.assert_allclose(g, v, rtol=args.rtol, atol=args.atol,
+                                       err_msg=k)
     pred = np.asarray(got.get("prediction", np.zeros(1)))
     print(f"[export] VERIFIED: {len(want)} outputs match the live model "
           f"(sample predictions: {pred[:8].tolist()})")
+    if args.polymorphic_batch:
+        # a symbolic-batch artifact must serve OTHER batch sizes too
+        b2 = args.batch_size // 2 + 1
+        got2 = served(batch[:b2])
+        for k in sorted(want):
+            g2, v2 = np.asarray(got2[k]), np.asarray(want[k])[:b2]
+            if k.endswith("prediction"):
+                assert int(np.sum(g2 != v2)) == 0, (
+                    f"{k}: predictions diverge at batch {b2}")
+            else:
+                np.testing.assert_allclose(
+                    g2, v2, rtol=args.rtol, atol=args.atol,
+                    err_msg=f"{k} at batch {b2}")
+        print(f"[export] VERIFIED polymorphic batch: outputs also match "
+              f"at batch {b2}")
     print(json.dumps({"artifact": out, "step": int(step),
                       "outputs": served.manifest["outputs"]}))
 
