@@ -19,7 +19,9 @@ RECIPE="data_loader.source=digits data_loader.split_seed=7 \
   trainer.max_epochs=4000 trainer.eval_every_epochs=50 \
   lr_scheduler.decay_rate=0.99994"
 
-for SEED in 500 516 532 548 564 580; do
+# 596/612 are the preregistered K=8 extension (RESULTS.md); the DONE
+# guard makes the script resumable/idempotent over the full pool.
+for SEED in 500 516 532 548 564 580 596 612; do
   name="f$SEED"
   if [ -f "logs/r4_ensemble_flagship/$name/DONE" ]; then
     echo "== $name already done, skipping"; continue
@@ -42,11 +44,16 @@ for SEED in 500 516 532 548 564 580; do
   echo "== test $name exit=$?"
 done
 
-echo "== ensemble eval (all runs)"
-python tools/ensemble_eval.py \
-  checkpoints/r4_ensemble_flagship/f500 checkpoints/r4_ensemble_flagship/f516 \
+ALL="checkpoints/r4_ensemble_flagship/f500 checkpoints/r4_ensemble_flagship/f516 \
   checkpoints/r4_ensemble_flagship/f532 checkpoints/r4_ensemble_flagship/f548 \
   checkpoints/r4_ensemble_flagship/f564 checkpoints/r4_ensemble_flagship/f580 \
-  -- data_loader.source=digits data_loader.split_seed=7 \
-  trainer.monitor=val_accuracy trainer.monitor_mode=max \
-  2>&1 | tee logs/r4_ensemble_flagship/ensemble_eval.log
+  checkpoints/r4_ensemble_flagship/f596 checkpoints/r4_ensemble_flagship/f612"
+EVAL_TAIL="-- data_loader.source=digits data_loader.split_seed=7 \
+  trainer.monitor=val_accuracy trainer.monitor_mode=max"
+
+echo "== ensemble eval K=7 (run order, no member selection)"
+python tools/ensemble_eval.py $(echo $ALL | tr ' ' '\n' | head -7) \
+  $EVAL_TAIL 2>&1 | tee logs/r4_ensemble_flagship/ensemble_eval_k7.log
+echo "== ensemble eval K=8"
+python tools/ensemble_eval.py $ALL \
+  $EVAL_TAIL 2>&1 | tee logs/r4_ensemble_flagship/ensemble_eval_k8.log
