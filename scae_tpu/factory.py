@@ -143,6 +143,7 @@ class SCAEConfig:
     reconstruct_alternatives: bool = True
     compat_posterior_cls_bug: bool = False
     compat_posterior_gate_bug: bool = False
+    compat_double_softmax_xe: bool = False
 
     _derived = ("n_classes",)
 

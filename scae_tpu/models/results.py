@@ -108,3 +108,7 @@ class SCAEResult:
     # classifiers
     prior_cls_prob: Optional[jax.Array] = None
     posterior_cls_prob: Optional[jax.Array] = None
+    # pre-softmax head outputs, for the fixed (non-double-softmax)
+    # classification loss (scae.py compat_double_softmax_xe)
+    prior_cls_logit: Optional[jax.Array] = None
+    posterior_cls_logit: Optional[jax.Array] = None

@@ -13,6 +13,14 @@ compat flags for parity testing:
     through the *prior* classifier (reference :211).
   * compat_posterior_gate_bug=True gates the posterior sparsity loss on the
     *prior* sparsity weights (reference :258-259).
+  * compat_double_softmax_xe=True replicates the reference's classification
+    loss, which applies F.cross_entropy (an implicit log_softmax) to ALREADY
+    softmaxed probabilities (reference :67-74 + :281-282). The double softmax
+    attenuates the head gradient ~10x; at the shared lr=3e-5 the weakest-
+    margin class never trains (measured: class-8 recall 0.000 on the head's
+    own training data while a properly-fit linear readout of the same
+    features reaches 0.91 — RESULTS.md round-4 class-8 diagnosis). Default
+    False: cross-entropy on the head logits.
 """
 
 from typing import Optional
@@ -63,6 +71,7 @@ class SCAE(nn.Module):
     # defect-replication flags (default: fixed behavior)
     compat_posterior_cls_bug: bool = False
     compat_posterior_gate_bug: bool = False
+    compat_double_softmax_xe: bool = False
 
     @nn.compact
     def __call__(self, image, deterministic: bool = True):
@@ -167,13 +176,14 @@ class SCAE(nn.Module):
                 presence=td_enc_presence * td_dec_presence)
 
         prior_cls_prob = posterior_cls_prob = None
+        prior_logits = posterior_logits = None
         if self.n_classes is not None:
             prior_clf = TorchLinear(self.n_classes, name="prior_classifier")
             posterior_clf = TorchLinear(self.n_classes,
                                         name="posterior_classifier")
 
-            prior_cls_prob = jax.nn.softmax(
-                prior_clf(stop_grad(obj.caps_presence)), axis=-1)
+            prior_logits = prior_clf(stop_grad(obj.caps_presence))
+            prior_cls_prob = jax.nn.softmax(prior_logits, axis=-1)
 
             mass_explained_by_capsule = jnp.sum(obj.posterior_mixing_prob,
                                                 axis=-1)
@@ -201,6 +211,8 @@ class SCAE(nn.Module):
             top_down_per_caps_rec=top_down_per_caps_rec,
             prior_cls_prob=prior_cls_prob,
             posterior_cls_prob=posterior_cls_prob,
+            prior_cls_logit=prior_logits,
+            posterior_cls_logit=posterior_logits,
         )
 
     # ------------------------------------------------------------------ loss
@@ -276,11 +288,21 @@ class SCAE(nn.Module):
 
         if label is not None:
             assert self.n_classes is not None
-            # reference applies F.cross_entropy to ALREADY-softmaxed probs
-            # (double-softmax quirk, :67-74 + :281-282) — replicated.
-            prior_cls_xe = _cross_entropy_on_probs(res.prior_cls_prob, label)
-            posterior_cls_xe = _cross_entropy_on_probs(
-                res.posterior_cls_prob, label)
+            if self.compat_double_softmax_xe:
+                # reference applies F.cross_entropy to ALREADY-softmaxed
+                # probs (double-softmax quirk, :67-74 + :281-282).
+                prior_cls_xe = _f_cross_entropy(
+                    res.prior_cls_prob, label)
+                posterior_cls_xe = _f_cross_entropy(
+                    res.posterior_cls_prob, label)
+            else:
+                # fixed: cross-entropy on the head logits. The double
+                # softmax starves the weakest class at the shared tiny lr
+                # (class-8 diagnosis, RESULTS.md round 4).
+                prior_cls_xe = _f_cross_entropy(
+                    res.prior_cls_logit, label)
+                posterior_cls_xe = _f_cross_entropy(
+                    res.posterior_cls_logit, label)
             loss += prior_cls_xe + posterior_cls_xe
             log["prior_cls_xe"] = prior_cls_xe
             log["posterior_cls_xe"] = posterior_cls_xe
@@ -296,7 +318,7 @@ class SCAE(nn.Module):
         return jnp.maximum(prior_acc, posterior_acc)
 
 
-def _cross_entropy_on_probs(probs, label):
+def _f_cross_entropy(probs, label):
     """F.cross_entropy(input=probs, target=label) parity: input treated as
     logits, i.e. log_softmax is applied on top of the given probabilities."""
     logp = jax.nn.log_softmax(probs, axis=-1)

@@ -201,7 +201,8 @@ def scae_color_golden():
         ocae_decoder_capsule_params=dict(noise_type=None, noise_scale=0.0),
         scae_params=dict(reconstruct_alternatives=True,
                          compat_posterior_cls_bug=True,
-                         compat_posterior_gate_bug=True),
+                         compat_posterior_gate_bug=True,
+                         compat_double_softmax_xe=True),
     ))
     params = torch_port.port_scae(sd, n_obj_caps=6)
     res = model.apply({"params": params}, jnp.asarray(g["img"]))
@@ -277,7 +278,8 @@ def scae_golden():
         ocae_decoder_capsule_params=dict(noise_type=None, noise_scale=0.0),
         scae_params=dict(reconstruct_alternatives=True,
                          compat_posterior_cls_bug=True,
-                         compat_posterior_gate_bug=True),
+                         compat_posterior_gate_bug=True,
+                         compat_double_softmax_xe=True),
     ))
     params = torch_port.port_scae(sd, n_obj_caps=6)
     res = model.apply({"params": params}, jnp.asarray(g["img"]))
@@ -353,7 +355,8 @@ def test_train_trajectory_golden():
         ocae_decoder_capsule_params=dict(noise_type=None, noise_scale=0.0),
         scae_params=dict(reconstruct_alternatives=False,
                          compat_posterior_cls_bug=True,
-                         compat_posterior_gate_bug=True),
+                         compat_posterior_gate_bug=True,
+                         compat_double_softmax_xe=True),
     ))
     params = torch_port.port_scae(init_sd, n_obj_caps=6)
     tx = make_optimizer("rmsprop", 1e-4, batch_size=B, momentum=0.9)

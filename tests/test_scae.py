@@ -57,6 +57,36 @@ def test_loss_and_log_terms(model_and_vars, forward_res):
         assert name in log and np.isfinite(float(log[name])), name
 
 
+@pytest.mark.smoke
+def test_classification_xe_fixed_vs_compat(model_and_vars, forward_res):
+    """Default: CE on head logits; compat_double_softmax_xe replicates the
+    reference's CE-on-softmaxed-probs quirk (stacked_capsule_auto_encoder.py
+    :67-74,:281-282) — the defect behind the class-8 failure (RESULTS.md)."""
+    model, variables, img = model_and_vars
+    res = forward_res
+    label = jnp.arange(4) % 10
+
+    # logits are exposed and consistent with the probs
+    np.testing.assert_allclose(jax.nn.softmax(res.prior_cls_logit, -1),
+                               res.prior_cls_prob, atol=1e-6)
+
+    def xe(x):
+        logp = jax.nn.log_softmax(x, axis=-1)
+        return float(-jnp.mean(jnp.take_along_axis(
+            logp, label[:, None], axis=-1)))
+
+    _, log_fixed = model.loss(res, img, label)
+    assert np.isclose(float(log_fixed["prior_cls_xe"]),
+                      xe(res.prior_cls_logit), atol=1e-6)
+
+    compat = model.clone(compat_double_softmax_xe=True)
+    _, log_compat = compat.loss(res, img, label)
+    assert np.isclose(float(log_compat["prior_cls_xe"]),
+                      xe(res.prior_cls_prob), atol=1e-6)
+    assert not np.isclose(float(log_fixed["prior_cls_xe"]),
+                          float(log_compat["prior_cls_xe"]), atol=1e-4)
+
+
 def test_accuracy_in_unit_interval(model_and_vars, forward_res):
     model, variables, img = model_and_vars
     res = forward_res
