@@ -137,6 +137,8 @@ def _ensemble(members, labels, weights=None):
     """Weighted mean of member probabilities -> (prior, posterior) acc."""
     w = np.ones(len(members)) if weights is None else np.asarray(
         weights, dtype=np.float64)
+    if w.sum() <= 0:        # all-zero val accs (degenerate) -> uniform
+        w = np.ones(len(members))
     w = w / w.sum()
     pri = sum(wi * m[0] for wi, m in zip(w, members))
     post = sum(wi * m[1] for wi, m in zip(w, members))
