@@ -120,6 +120,35 @@ def test_probe_eval_end_to_end(two_group_runs):
     assert len(res["member_test_accs"]) == 2
 
 
+def test_probe_calibrate_bakes_head(two_group_runs):
+    """probe_calibrate writes a checkpoint whose posterior head IS the
+    probe: standard restore paths must see the new weights and the
+    in-model readout must match the sklearn probe on val."""
+    spec_path, base = two_group_runs
+    spec = json.loads(open(spec_path).read())
+    g = spec["groups"][0]
+    out = os.path.join(base, "a_calibrated")
+    res = _load("probe_calibrate").main(
+        [g["members"][0]["run"], "--out", out, "--batch-size", "16",
+         "--c-grid", "1.0", "--", *g["overrides"]])
+    assert res["c_star"] == 1.0
+    assert 0.0 <= res["val_after"] <= 1.0
+    # in-model readout == probe readout (same linear head, f32 features)
+    assert abs(res["val_after"] - res["val_probe"]) <= 0.05
+    # the calibrated dir restores through the standard manager and the
+    # head really changed
+    from scae_tpu.train.checkpoint import CheckpointManager
+    import numpy as np
+    new = CheckpointManager(out).restore_params(step=res["step"])
+    old = CheckpointManager(
+        g["members"][0]["run"]).restore_params(step=res["step"])
+    assert not np.allclose(new["posterior_classifier"]["kernel"],
+                           old["posterior_classifier"]["kernel"])
+    np.testing.assert_array_equal(
+        np.asarray(new["part_encoder"]["img_embedding_bias"]),
+        np.asarray(old["part_encoder"]["img_embedding_bias"]))
+
+
 def test_probe_eval_skip_test_selects_only(two_group_runs):
     spec_path, _ = two_group_runs
     res = _load("probe_eval").main(
