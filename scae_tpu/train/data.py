@@ -143,8 +143,9 @@ def synthetic_digits(n: int, seed: int = 0, size: int = 28,
 
 
 def real_digits(size: int = 28, n_channels: int = 1, test_size: int = 297,
-                seed: int = 0) -> Tuple[np.ndarray, np.ndarray,
-                                        np.ndarray, np.ndarray]:
+                seed: int = 0, tint: str = "class",
+                ) -> Tuple[np.ndarray, np.ndarray,
+                           np.ndarray, np.ndarray]:
     """Real handwritten digits (sklearn's bundled UCI optdigits, 1797
     samples, 8x8) bilinearly upsampled to `size` x `size`.
 
@@ -152,6 +153,14 @@ def real_digits(size: int = 28, n_channels: int = 1, test_size: int = 297,
     container — the offline stand-in for the reference's torchvision MNIST
     download (mnist/experiment.py:42-50). Returns
     (train_images, train_labels, test_images, test_labels) as uint8.
+
+    Multichannel (`n_channels>1`) colorization: `tint="class"` (default,
+    historical) gives every class a fixed color — a label shortcut that
+    inflates classification metrics; `tint="example"` draws an
+    independent color per example, so color carries no label information
+    and accuracy measures shape learning (the honest mode for color
+    QUALITY runs; the tint RNG is keyed off `seed` so the same split
+    seed reproduces the same colors).
     """
     from scipy import ndimage
     from sklearn.datasets import load_digits
@@ -164,9 +173,16 @@ def real_digits(size: int = 28, n_channels: int = 1, test_size: int = 297,
     gray = (up * 255).astype(np.uint8)
     labels = d.target.astype(np.int64)
     if n_channels > 1:
-        tints = np.random.RandomState(99).uniform(
-            0.3, 1.0, size=(10, n_channels)).astype(np.float32)
-        imgs_c = up[..., None] * tints[labels][:, None, None, :]
+        if tint == "example":
+            per_ex = np.random.RandomState(seed + 77).uniform(
+                0.3, 1.0, size=(len(up), n_channels)).astype(np.float32)
+            imgs_c = up[..., None] * per_ex[:, None, None, :]
+        elif tint == "class":
+            tints = np.random.RandomState(99).uniform(
+                0.3, 1.0, size=(10, n_channels)).astype(np.float32)
+            imgs_c = up[..., None] * tints[labels][:, None, None, :]
+        else:
+            raise ValueError(f"unknown tint mode {tint!r}")
         gray = (np.clip(imgs_c, 0, 1) * 255).astype(np.uint8)
     # deterministic shuffled holdout (the set is ordered by digit batches)
     perm = np.random.RandomState(seed).permutation(len(gray))
@@ -240,7 +256,8 @@ def load_datasets(data_dir: Optional[str] = None, val_size: int = 5000,
                   synthetic_train: int = 12000, synthetic_test: int = 2000,
                   seed: int = 42, image_size: int = 28,
                   n_channels: int = 1, source: Optional[str] = None,
-                  split_seed: Optional[int] = None):
+                  split_seed: Optional[int] = None,
+                  tint: Optional[str] = None):
     """(train, val, test) Datasets: npz dump > MNIST IDX > synthetic.
 
     `source` forces a specific origin: "npz"/"mnist" (must be found on
@@ -279,7 +296,8 @@ def load_datasets(data_dir: Optional[str] = None, val_size: int = 5000,
         source = "mnist"
     elif want == "digits":
         tr_im, tr_lb, te_im, te_lb = real_digits(
-            size=image_size, n_channels=n_channels, seed=ss)
+            size=image_size, n_channels=n_channels, seed=ss,
+            tint=tint or "class")
         source = "digits"
     else:
         tr_im, tr_lb = synthetic_digits(synthetic_train, seed=ss,

@@ -417,6 +417,7 @@ class Trainer:
             data_dir=cfg["data_loader"].get("data_dir"), seed=seed,
             image_size=min(h, 28 if c == 1 else h), n_channels=c,
             source=cfg["data_loader"].get("source"),
+            tint=cfg["data_loader"].get("tint"),
             split_seed=self.split_seed,
             **self._dataset_sizes())
         steps_per_epoch = max(len(train_ds) // self.batch_size, 1)
@@ -479,6 +480,7 @@ class Trainer:
                 data_dir=cfg["data_loader"].get("data_dir"), seed=s,
                 image_size=min(h, 28 if c == 1 else h), n_channels=c,
                 source=cfg["data_loader"].get("source"),
+                tint=cfg["data_loader"].get("tint"),
                 split_seed=self.split_seed,
                 **self._dataset_sizes())
             spe = len(train_ds) // self.batch_size
@@ -573,6 +575,7 @@ class Trainer:
             image_size=min(h, 28 if c == 1 else h),
             n_channels=c,
             source=cfg["data_loader"].get("source"),
+            tint=cfg["data_loader"].get("tint"),
             split_seed=self.split_seed,
             **self._dataset_sizes())
         print(f"[scae_tpu] dataset source: {source} "

@@ -224,6 +224,38 @@ def test_real_digits_color_and_size():
     assert te_im.shape == (297, 32, 32, 3)
 
 
+def test_real_digits_example_tint_removes_label_shortcut():
+    """tint="class" colors by label (a classification shortcut);
+    tint="example" must break that correlation while keeping the split
+    (labels, example order) identical."""
+    import numpy as np
+
+    cls_im, cls_lb, _, _ = data_lib.real_digits(
+        size=16, n_channels=3, seed=7, tint="class")
+    ex_im, ex_lb, _, _ = data_lib.real_digits(
+        size=16, n_channels=3, seed=7, tint="example")
+    np.testing.assert_array_equal(cls_lb, ex_lb)       # same split
+    assert not np.array_equal(cls_im, ex_im)           # different colors
+
+    def mean_color(im):
+        # mean channel intensity over lit pixels -> (N, 3) color signature
+        lit = im.astype(np.float32)
+        mass = lit.sum(axis=(1, 2)) + 1e-6              # (N, 3)
+        return mass / mass.sum(-1, keepdims=True)
+
+    # class tints: same-label examples share a color signature
+    sig = mean_color(cls_im)
+    d0 = sig[cls_lb == 0]
+    assert np.allclose(d0.std(0), 0, atol=1e-3)
+    # example tints: same-label examples do NOT share one
+    sig = mean_color(ex_im)
+    d0 = sig[ex_lb == 0]
+    assert d0.std(0).max() > 0.01
+
+    with pytest.raises(ValueError):
+        data_lib.real_digits(size=16, n_channels=3, tint="plaid")
+
+
 def test_source_forcing_errors():
     with pytest.raises(ValueError):
         data_lib.load_datasets(source="imagenet")

@@ -90,7 +90,8 @@ def main(argv=None):
         data_dir=cfg["data_loader"].get("data_dir"),
         seed=cfg.get("seed", 42), split_seed=split_seed,
         image_size=min(h, 28 if c == 1 else h), n_channels=c,
-        source=cfg["data_loader"].get("source"))
+        source=cfg["data_loader"].get("source"),
+        tint=cfg["data_loader"].get("tint"))
     print(f"[ensemble] test split: {len(test_ds)} examples ({source}, "
           f"split_seed={split_seed})")
 

@@ -72,7 +72,8 @@ def main(argv=None):
         data_dir=cfg["data_loader"].get("data_dir"),
         seed=cfg.get("seed", 42), split_seed=split_seed,
         image_size=min(h, 28 if c == 1 else h), n_channels=c,
-        source=cfg["data_loader"].get("source"))
+        source=cfg["data_loader"].get("source"),
+        tint=cfg["data_loader"].get("tint"))
 
     mgr = CheckpointManager(args.run, monitor=monitor, mode=mode)
     step = mgr.best_step or mgr.latest_step

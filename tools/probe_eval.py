@@ -55,7 +55,8 @@ def _group_features(cfg, runs, batch_size, split_seed):
         data_dir=cfg["data_loader"].get("data_dir"),
         seed=cfg.get("seed", 42), split_seed=split_seed,
         image_size=min(h, 28 if c == 1 else h), n_channels=c,
-        source=cfg["data_loader"].get("source"))
+        source=cfg["data_loader"].get("source"),
+        tint=cfg["data_loader"].get("tint"))
 
     @jax.jit
     def feats(params, images):
