@@ -431,12 +431,59 @@ class Trainer:
         state = jax.device_put(state, replicate_sharding(self.mesh))
         metrics, _ = self.evaluate(state.params, test_ds)
         metrics = {k.replace("val_", "test_"): v for k, v in metrics.items()}
+        if jax.process_count() == 1:
+            # per-class recall over the FULL split (remainder padded and
+            # trimmed). Aggregate-only reporting hid an entire silent
+            # class failure for three rounds (RESULTS.md round-4 class-8
+            # diagnosis: recall 0.000 on one class across 14 runs while
+            # overall accuracy looked healthy) — never again.
+            metrics.update(self._per_class_recall(state.params, test_ds))
         self.writer.scalars(int(state.step), metrics)
         print(f"[scae_tpu] test @ ckpt {step} ({source}): "
               + ", ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items())
                           if k in ("test_loss", "test_accuracy",
                                    "test_rec_ll_loss")))
+        recalls = [(k, v) for k, v in sorted(metrics.items())
+                   if k.startswith("test_class")]
+        if recalls:
+            print("[scae_tpu] per-class recall: "
+                  + ", ".join(f"{k.split('_')[-2][5:]}={v:.2f}"
+                              for k, v in recalls))
         return metrics
+
+    def _per_class_recall(self, params, test_ds):
+        """test_class<k>_recall for the better head (the max(prior,
+        posterior) accuracy convention, applied per head over the full
+        split). Single-process only (grids-style side computation)."""
+        model = self.model
+
+        @jax.jit
+        def _cls(params, images):
+            res = model.apply({"params": params}, images,
+                              deterministic=True)
+            return res.prior_cls_prob, res.posterior_cls_prob
+
+        images = self.center_pad({"image": jnp.asarray(
+            data_lib.to_nchw_float(test_ds.images))})["image"]
+        labels = np.asarray(test_ds.labels)
+        n, B = len(labels), self.batch_size
+        n_pad = (-n) % B
+        images = jnp.pad(images, ((0, n_pad), (0, 0), (0, 0), (0, 0)))
+        pri, post = [], []
+        for i in range(0, n + n_pad, B):
+            p, q = _cls(params, images[i:i + B])
+            pri.append(np.asarray(p))
+            post.append(np.asarray(q))
+        pri = np.concatenate(pri)[:n].argmax(-1)
+        post = np.concatenate(post)[:n].argmax(-1)
+        pred = post if np.mean(post == labels) >= np.mean(pri == labels) \
+            else pri
+        out = {}
+        for cls in np.unique(labels):
+            m = labels == cls
+            out[f"test_class{int(cls)}_recall"] = float(
+                np.mean(pred[m] == cls))
+        return out
 
     def _recorded_seed(self) -> Optional[int]:
         """The seed that trained the checkpoints in ckpt.directory

@@ -391,3 +391,45 @@ def test_save_top_k_zero_disables_checkpointing(tmp_path):
     assert os.path.exists(f"{tmp_path}/logs/metrics.jsonl")
     with pytest.raises(AssertionError, match="no checkpoint to test"):
         trainer.run_test()
+
+
+def test_run_test_reports_per_class_recall(tmp_path):
+    """mode=test must surface per-class recall — aggregate-only metrics
+    hid a whole-class failure (RESULTS.md round-4 class-8 diagnosis)."""
+    from scae_tpu.config import load_config
+    from scae_tpu.train.loop import Trainer
+
+    cfg = load_config("config", overrides=[
+        "data_loader.batch_size=16",
+        "trainer.max_epochs=1",
+        "trainer.log_every_steps=2",
+        f"trainer.checkpoint_dir={tmp_path}/ckpt",
+        f"trainer.log_dir={tmp_path}/logs",
+        "trainer.max_eval_batches=1",
+        "trainer.augment.canvas=24",
+        "trainer.augment.max_shift=2",
+        *_TINY_MODEL,
+    ])
+    import scae_tpu.train.data as data_lib
+    orig = data_lib.load_datasets
+
+    def tiny_datasets(**kw):
+        kw.update(val_size=32, synthetic_train=64, synthetic_test=40)
+        return orig(**kw)
+
+    data_lib.load_datasets = tiny_datasets
+    try:
+        trainer = Trainer(cfg)
+        trainer.run(max_epochs=1, max_steps=2)
+        trainer.ckpt.wait()
+        metrics = Trainer(cfg).run_test()
+    finally:
+        data_lib.load_datasets = orig
+
+    recalls = {k: v for k, v in metrics.items()
+               if k.startswith("test_class") and k.endswith("_recall")}
+    assert recalls, "per-class recall missing from run_test metrics"
+    assert all(0.0 <= v <= 1.0 for v in recalls.values())
+    # the full 40-example split is evaluated (16*2=32 batched + padded
+    # remainder), so every class present in the split gets a recall row
+    assert len(recalls) >= 5
