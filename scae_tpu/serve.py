@@ -73,7 +73,7 @@ def make_infer_fn(model, with_reconstruction: bool = False):
 
 
 def export_serving(model, params, *, image_shape: Sequence[int],
-                   batch_size: int, out_dir: str,
+                   batch_size: int | None, out_dir: str,
                    with_reconstruction: bool = False,
                    platforms: Sequence[str] = ("cpu", "tpu"),
                    model_config: dict | None = None,
@@ -97,6 +97,8 @@ def export_serving(model, params, *, image_shape: Sequence[int],
     ``polymorphic_batch=True`` exports with a SYMBOLIC batch dimension
     (``jax.export.symbolic_shape``): one artifact serves any batch size
     ≥ 1 — the realistic serving contract, where request batches vary.
+    Under it ``batch_size`` is unused and may be None (the manifest
+    records the batch dim as None either way).
     The whole model is batch-parallel (no cross-batch reduction on the
     inference path), so the lowering is exact, and the embedded shape
     assertions reject non-batch shape drift at call time as before.
@@ -137,9 +139,9 @@ def export_serving(model, params, *, image_shape: Sequence[int],
     with open(os.path.join(out_dir, ARTIFACT_NAME), "wb") as f:
         f.write(exported.serialize())
 
-    out_names = sorted(jax.eval_shape(
-        serving_fn,
-        jax.ShapeDtypeStruct((batch_size, c, h, w), jnp.float32)).keys())
+    # reuse the export spec (symbolic under polymorphic_batch, where a
+    # concrete batch_size may legitimately be None)
+    out_names = sorted(jax.eval_shape(serving_fn, spec).keys())
     manifest = {
         # batch None = symbolic: the artifact serves any batch size
         "input": {"shape": [None if polymorphic_batch else batch_size,

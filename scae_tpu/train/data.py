@@ -248,6 +248,9 @@ def find_npz(data_dir: Optional[str]) -> Optional[Dict[str, np.ndarray]]:
                 out[f"{split}_images"] = z["images"]
                 out[f"{split}_labels"] = z["labels"]
         if out is not None:
+            # the implicit search chain can pick up a stray dump far from
+            # the requested data_dir — always say which files won
+            print(f"[scae_tpu] npz dataset resolved from: {root}")
             return out
     return None
 

@@ -136,6 +136,11 @@ def main():
         # §2.4) — a user migrating a trained model wants ITS behavior
         "compat_posterior_cls_bug": True,
         "compat_posterior_gate_bug": True,
+        # the reference trains its heads with CE-on-softmax
+        # (stacked_capsule_auto_encoder.py:67-74,281-282); since commit
+        # 44949f8 scae_tpu defaults to CE-on-logits, so the ported model
+        # must opt back in to match the trained reference's loss values
+        "compat_double_softmax_xe": True,
     }}
     model = tpu_factory.make_scae(tpu_cfg)
     params = torch_port.port_scae(
