@@ -791,4 +791,111 @@ class Trainer:
                 break
 
         self.ckpt.wait()
+        if trainer_cfg.get("head_refit"):
+            self.refit_head(train_ds, val_ds)
         return state
+
+    def refit_head(self, train_ds, val_ds,
+                   c_grid=(0.1, 1.0, 10.0, 100.0)):
+        """End-of-run posterior-head refit on the frozen trunk
+        (``trainer.head_refit=true``).
+
+        The jointly-trained classifier head chronically under-trains the
+        linear ceiling of its own features (RESULTS.md round 4: head
+        mean 0.787 vs probe 0.869-0.899 on the SAME checkpoints — the
+        head chases a moving representation at the shared lr, reference
+        stacked_capsule_auto_encoder.py:203-213 semantics). This closes
+        the gap in-loop: fit the SCAE paper's linear readout
+        (multinomial logistic regression on mass_explained_by_capsule,
+        fit on the train split, C selected on val) against the BEST
+        retained checkpoint's frozen trunk, write it into that
+        checkpoint's posterior head, re-evaluate val metrics, and save
+        the result as a new checkpoint step ranked by its own metrics.
+        ``mode=test``, serving export, and ensembling then read the
+        refit head through zero new code paths. In-trainer twin of
+        tools/probe_calibrate.py (which retrofits existing checkpoints).
+        """
+        if jax.process_count() > 1:
+            print("[scae_tpu] head_refit: multi-process run — skipped "
+                  "(run tools/probe_calibrate.py on the checkpoint)")
+            return None
+        best = self.ckpt.best_step or self.ckpt.latest_step
+        if best is None:
+            print("[scae_tpu] head_refit: no retained checkpoint "
+                  "(trainer.save_top_k=0?) — skipped")
+            return None
+        from sklearn.linear_model import LogisticRegression
+
+        params = jax.device_get(self.ckpt.restore_params(step=best))
+        if "posterior_classifier" not in params:
+            print("[scae_tpu] head_refit: model has no posterior "
+                  "classifier — skipped")
+            return None
+        model = self.model
+        h = self.cfg["model"]["image_shape"][1]
+
+        @jax.jit
+        def feats_scan(params, images, idxs):
+            def body(_, ix):
+                x = jnp.take(images, ix, axis=0)
+                res = model.apply({"params": params}, x,
+                                  deterministic=True)
+                return None, jnp.sum(res.obj.posterior_mixing_prob,
+                                     axis=-1)
+            _, fs = jax.lax.scan(body, None, idxs)
+            return fs
+
+        def split_feats(ds):
+            imgs = data_lib.pad_to_canvas(
+                data_lib.to_nchw_float(ds.images), h)
+            n, B = len(imgs), self.batch_size
+            n_pad = (-n) % B
+            imgs = np.pad(imgs, ((0, n_pad), (0, 0), (0, 0), (0, 0)))
+            idxs = np.arange(n + n_pad, dtype=np.int32).reshape(-1, B)
+            fs = np.asarray(feats_scan(params, jnp.asarray(imgs),
+                                       jnp.asarray(idxs)))
+            return fs.reshape(-1, fs.shape[-1])[:n], np.asarray(ds.labels)
+
+        Xtr, ytr = split_feats(train_ds)
+        Xval, yval = split_feats(val_ds)
+        best_fit = None
+        for C in c_grid:
+            clf = LogisticRegression(max_iter=5000, C=C).fit(Xtr, ytr)
+            acc = float(np.mean(clf.predict(Xval) == yval))
+            if best_fit is None or acc > best_fit[1]:
+                best_fit = (clf, acc, C)
+        clf, probe_val, c_star = best_fit
+
+        head = dict(params["posterior_classifier"])
+        kernel = np.asarray(clf.coef_.T, dtype=np.asarray(
+            head["kernel"]).dtype)
+        bias = np.asarray(clf.intercept_, dtype=np.asarray(
+            head["bias"]).dtype)
+        if kernel.shape != head["kernel"].shape:
+            raise ValueError(f"head_refit: probe shape {kernel.shape} "
+                             f"!= head {head['kernel'].shape}")
+        head["kernel"], head["bias"] = kernel, bias
+        new_params = {**params, "posterior_classifier": head}
+
+        # full state at the refit step: trunk/optimizer/step from the
+        # best checkpoint, params swapped — so resume/test restore a
+        # complete, consistent tree
+        template = self.init_state(self.cfg.get("seed", 42))
+        state = self.ckpt.restore(template, step=best)
+        state = state.replace(params=jax.tree.map(jnp.asarray, new_params))
+        state = jax.device_put(state, replicate_sharding(self.mesh))
+        vm, _ = self.evaluate(state.params, val_ds)
+        if self.monitor not in vm:
+            raise KeyError(f"head_refit: trainer.monitor={self.monitor!r}"
+                           f" not in eval metrics {sorted(vm)}")
+        refit_step = int(best) + 1
+        if is_process_zero():
+            self.writer.scalars(refit_step, vm)
+        self.ckpt.save(refit_step, lambda: jax.device_get(state),
+                       metrics={self.monitor: float(vm[self.monitor])})
+        self.ckpt.wait()
+        print(f"[scae_tpu] head_refit: C*={c_star} probe val "
+              f"{probe_val:.4f}; refit ckpt {refit_step} "
+              f"{self.monitor}={vm[self.monitor]:.4f} "
+              f"(best was ckpt {best})")
+        return vm

@@ -433,3 +433,65 @@ def test_run_test_reports_per_class_recall(tmp_path):
     # the full 40-example split is evaluated (16*2=32 batched + padded
     # remainder), so every class present in the split gets a recall row
     assert len(recalls) >= 5
+
+
+def test_head_refit_bakes_probe_into_best_checkpoint(tmp_path, capsys):
+    """trainer.head_refit=true: after training, the probe readout is fit
+    on the frozen trunk and saved as a new checkpoint whose posterior
+    head IS the probe — mode=test / serving read it with no new code
+    paths (the in-trainer twin of tools/probe_calibrate.py)."""
+    from scae_tpu.config import load_config
+    from scae_tpu.train.checkpoint import CheckpointManager
+    from scae_tpu.train.loop import Trainer
+
+    cfg = load_config("config", overrides=[
+        "data_loader.batch_size=16",
+        "trainer.max_epochs=1",
+        "trainer.log_every_steps=2",
+        f"trainer.checkpoint_dir={tmp_path}/ckpt",
+        f"trainer.log_dir={tmp_path}/logs",
+        "trainer.max_eval_batches=1",
+        "trainer.augment.canvas=24",
+        "trainer.augment.max_shift=2",
+        "trainer.monitor=val_accuracy",
+        "trainer.monitor_mode=max",
+        "trainer.head_refit=true",
+        *_TINY_MODEL,
+    ])
+    import scae_tpu.train.data as data_lib
+    orig = data_lib.load_datasets
+
+    def tiny_datasets(**kw):
+        kw.update(val_size=32, synthetic_train=64, synthetic_test=40)
+        return orig(**kw)
+
+    data_lib.load_datasets = tiny_datasets
+    try:
+        trainer = Trainer(cfg)
+        trainer.run(max_epochs=1, max_steps=4)
+        out = capsys.readouterr().out
+        assert "head_refit: C*=" in out, out
+
+        steps = sorted(trainer.ckpt._mgr.all_steps())
+        # the refit checkpoint is saved at <source best>+1
+        assert any(s - 1 in steps for s in steps), steps
+        refit_step = max(s for s in steps if s - 1 in steps)
+        src = trainer.ckpt.restore_params(step=refit_step - 1)
+        new = trainer.ckpt.restore_params(step=refit_step)
+        import numpy as np
+        assert not np.allclose(
+            np.asarray(src["posterior_classifier"]["kernel"]),
+            np.asarray(new["posterior_classifier"]["kernel"]))
+        # trunk is untouched: the refit only rewrites the head
+        assert np.allclose(
+            np.asarray(src["part_encoder"]["img_embedding_bias"]),
+            np.asarray(new["part_encoder"]["img_embedding_bias"]))
+
+        # the probe fit maximizes val accuracy on the frozen features,
+        # so under a val_accuracy monitor the refit step ranks best and
+        # mode=test restores it
+        assert trainer.ckpt.best_step == refit_step
+        metrics = Trainer(cfg).run_test()
+        assert "test_accuracy" in metrics
+    finally:
+        data_lib.load_datasets = orig

@@ -45,8 +45,12 @@ run () {
   echo "== test $name exit=$? $(date +%H:%M:%S)"
 }
 
+# probe length renormalized to epoch size exactly like the lr decay:
+# the 200-epoch default was tuned for 9-step optdigits epochs (~1800
+# steps); 4 epochs at 429 steps/epoch is the same step budget
 run a_reference "seed=42"
-run b_framework "seed=4200" "trainer.seed_probe.n=8"
+run b_framework "seed=4200" "trainer.seed_probe.n=8" \
+  "trainer.seed_probe.epochs=4"
 
 echo "== probe eval (both runs)"
 python tools/probe_eval.py tools/pool_spec_r5_60k.json \
