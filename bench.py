@@ -179,6 +179,21 @@ def main():
     if mfu is not None:
         result["mfu"] = round(mfu, 4)
 
+    # The 100-step headline is knowingly ~12% dispatch-diluted vs the
+    # traced 55.3k device ceiling (BASELINE.md round 4): each dispatch
+    # pays ~30 ms tunnel RTT. Real training dispatches eval-period-long
+    # scans, so ALSO measure the flagship at 200 steps/dispatch — the
+    # same series-break treatment the staged configs got in round 4 —
+    # and report both (VERDICT r4 ask #7). "value" stays the 100-step
+    # series number for r1-r5 comparability.
+    if not os.environ.get("SCAE_BENCH_FLAGSHIP_ONLY"):
+        try:
+            ips200, _ = _bench_config(flagship, 28, 40, scan_steps=200,
+                                      repeats=3, fused_impl=fused_impl)
+            result["value_200step_scan"] = round(ips200, 1)
+        except Exception as e:  # pragma: no cover - defensive
+            result["value_200step_scan"] = f"error:{type(e).__name__}"
+
     if not os.environ.get("SCAE_BENCH_FLAGSHIP_ONLY"):
         extras = {}
         for name, (mk, data_size, canvas) in CONFIGS.items():

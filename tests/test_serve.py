@@ -179,3 +179,28 @@ def test_data_sharded_export_over_mesh():
         np.testing.assert_allclose(
             np.asarray(got["posterior_cls_prob"]),
             np.asarray(want["posterior_cls_prob"]), rtol=1e-4, atol=1e-5)
+
+
+def test_verify_serving_readout_tool(exported_dir, capsys):
+    """tools/verify_serving_readout.py: the deployment artifact's
+    `prediction` output is evaluated on the run's own test split and
+    gated against an expected accuracy (the serving<->quality loop)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    import verify_serving_readout
+
+    out = exported_dir[0]
+    overrides = ["model.image_shape=[1,28,28]",
+                 "data_loader.synthetic_test=64",
+                 "data_loader.synthetic_train=128",
+                 "data_loader.val_size=32"]
+    res = verify_serving_readout.main([out, "--"] + overrides)
+    assert res["n_test"] == 64
+    assert 0.0 <= res["test_accuracy"] <= 1.0
+
+    # gate: an absurd expectation must fail loudly
+    with pytest.raises(SystemExit):
+        verify_serving_readout.main(
+            [out, "--expect", "0.999", "--tol", "0.001", "--"]
+            + overrides)
