@@ -888,12 +888,19 @@ class Trainer:
         if self.monitor not in vm:
             raise KeyError(f"head_refit: trainer.monitor={self.monitor!r}"
                            f" not in eval metrics {sorted(vm)}")
-        refit_step = int(best) + 1
+        # past the LATEST step, not best+1: Orbax silently refuses
+        # non-monotonic saves, and the best checkpoint is usually not
+        # the last one written
+        refit_step = max(int(best), int(self.ckpt.latest_step or 0)) + 1
         if is_process_zero():
             self.writer.scalars(refit_step, vm)
-        self.ckpt.save(refit_step, lambda: jax.device_get(state),
-                       metrics={self.monitor: float(vm[self.monitor])})
+        saved = self.ckpt.save(refit_step, lambda: jax.device_get(state),
+                               metrics={self.monitor: float(vm[self.monitor])})
         self.ckpt.wait()
+        if not saved:
+            raise RuntimeError(
+                f"head_refit: checkpoint manager refused save at step "
+                f"{refit_step} (latest={self.ckpt.latest_step})")
         print(f"[scae_tpu] head_refit: C*={c_star} probe val "
               f"{probe_val:.4f}; refit ckpt {refit_step} "
               f"{self.monitor}={vm[self.monitor]:.4f} "

@@ -495,3 +495,63 @@ def test_head_refit_bakes_probe_into_best_checkpoint(tmp_path, capsys):
         assert "test_accuracy" in metrics
     finally:
         data_lib.load_datasets = orig
+
+
+def test_head_refit_survives_nonmonotonic_best(tmp_path, capsys):
+    """Regression (round 5, run r500): the best-ranked checkpoint is
+    usually NOT the latest one written, and Orbax silently refuses
+    saves at steps <= latest_step. refit_head must place the refit
+    checkpoint past the LATEST step (and fail loudly if the manager
+    refuses), or the refit silently evaporates and mode=test reads the
+    old joint head."""
+    import numpy as np
+
+    from scae_tpu.config import load_config
+    from scae_tpu.train.loop import Trainer
+    import scae_tpu.train.data as data_lib
+
+    cfg = load_config("config", overrides=[
+        "data_loader.batch_size=16",
+        f"trainer.checkpoint_dir={tmp_path}/ckpt",
+        f"trainer.log_dir={tmp_path}/logs",
+        "trainer.augment.canvas=24",
+        "trainer.monitor=val_accuracy",
+        "trainer.monitor_mode=max",
+        "trainer.head_refit=true",
+        *_TINY_MODEL,
+    ])
+    trainer = Trainer(cfg)
+    trainer.build_steps(steps_per_epoch=4)
+    state = trainer.init_state(cfg.get("seed", 42))
+    # best (step 10) ranks above latest (step 20) — the real-run shape
+    assert trainer.ckpt.save(10, jax.device_get(state),
+                             metrics={"val_accuracy": 0.002})
+    assert trainer.ckpt.save(20, jax.device_get(state),
+                             metrics={"val_accuracy": 0.001})
+    trainer.ckpt.wait()
+    assert trainer.ckpt.best_step == 10
+    assert trainer.ckpt.latest_step == 20
+
+    train_ds, val_ds, _, _ = data_lib.load_datasets(
+        seed=7, image_size=24, val_size=32,
+        synthetic_train=64, synthetic_test=16, source="synthetic")
+    vm = trainer.refit_head(train_ds, val_ds)
+    assert vm is not None
+    out = capsys.readouterr().out
+    assert "head_refit: C*=" in out, out
+
+    steps = sorted(trainer.ckpt._mgr.all_steps())
+    # refit landed PAST the latest step, not at best+1=11
+    assert 21 in steps, steps
+    assert 11 not in steps, steps
+    # and it wins the ranking: probe val acc >= chance >> 0.002
+    assert trainer.ckpt.best_step == 21
+    # head is the probe, trunk untouched
+    src = trainer.ckpt.restore_params(step=10)
+    new = trainer.ckpt.restore_params(step=21)
+    assert not np.allclose(
+        np.asarray(src["posterior_classifier"]["kernel"]),
+        np.asarray(new["posterior_classifier"]["kernel"]))
+    assert np.allclose(
+        np.asarray(src["part_encoder"]["img_embedding_bias"]),
+        np.asarray(new["part_encoder"]["img_embedding_bias"]))
