@@ -432,11 +432,16 @@ class Trainer:
         metrics, _ = self.evaluate(state.params, test_ds)
         metrics = {k.replace("val_", "test_"): v for k, v in metrics.items()}
         if jax.process_count() == 1:
-            # per-class recall over the FULL split (remainder padded and
-            # trimmed). Aggregate-only reporting hid an entire silent
-            # class failure for three rounds (RESULTS.md round-4 class-8
+            # per-class recall AND the headline test_accuracy over the
+            # FULL split (remainder padded and trimmed) — evaluate()'s
+            # scan floors to (n // B) * B batches, so its accuracy
+            # (kept as test_accuracy_scan) misses up to B-1 examples.
+            # Aggregate-only reporting hid an entire silent class
+            # failure for three rounds (RESULTS.md round-4 class-8
             # diagnosis: recall 0.000 on one class across 14 runs while
             # overall accuracy looked healthy) — never again.
+            if "test_accuracy" in metrics:
+                metrics["test_accuracy_scan"] = metrics["test_accuracy"]
             metrics.update(self._per_class_recall(state.params, test_ds))
         self.writer.scalars(int(state.step), metrics)
         print(f"[scae_tpu] test @ ckpt {step} ({source}): "
@@ -478,7 +483,10 @@ class Trainer:
         post = np.concatenate(post)[:n].argmax(-1)
         pred = post if np.mean(post == labels) >= np.mean(pri == labels) \
             else pri
-        out = {}
+        # the headline number, over ALL n examples: evaluate()'s scan
+        # floors to (n // B) * B, silently dropping the remainder — 41
+        # of 297 on the digits test split
+        out = {"test_accuracy": float(np.mean(pred == labels))}
         for cls in np.unique(labels):
             m = labels == cls
             out[f"test_class{int(cls)}_recall"] = float(

@@ -433,6 +433,12 @@ def test_run_test_reports_per_class_recall(tmp_path):
     # the full 40-example split is evaluated (16*2=32 batched + padded
     # remainder), so every class present in the split gets a recall row
     assert len(recalls) >= 5
+    # headline accuracy covers ALL 40 examples (k/40); the scan figure
+    # (kept for series continuity) floors to 2 batches = 32 (k/32)
+    assert "test_accuracy" in metrics and "test_accuracy_scan" in metrics
+    full, scan = metrics["test_accuracy"], metrics["test_accuracy_scan"]
+    assert abs(full * 40 - round(full * 40)) < 1e-6, full
+    assert abs(scan * 32 - round(scan * 32)) < 1e-6, scan
 
 
 def test_head_refit_bakes_probe_into_best_checkpoint(tmp_path, capsys):
