@@ -561,3 +561,88 @@ def test_head_refit_survives_nonmonotonic_best(tmp_path, capsys):
     assert np.allclose(
         np.asarray(src["part_encoder"]["img_embedding_bias"]),
         np.asarray(new["part_encoder"]["img_embedding_bias"]))
+
+
+def test_pool_inprocess_matches_solo_run(tmp_path):
+    """tools/pool_inprocess.py: a member trained inside the one-process
+    pool runner (jit caches shared with preceding members) is
+    state-identical to the same recipe trained alone — the determinism
+    claim that justified amortizing the tunnel's remote compile across
+    the round-5 pool rebuild."""
+    import sys as _sys
+
+    import numpy as np
+
+    _sys.path.insert(0, "tools")
+    import pool_inprocess as pi
+
+    from scae_tpu.config import load_config
+    from scae_tpu.train.checkpoint import CheckpointManager
+    from scae_tpu.train.loop import Trainer
+
+    base = [
+        "data_loader.batch_size=16",
+        "data_loader.source=synthetic",
+        "data_loader.synthetic_train=64",
+        "data_loader.val_size=32",
+        "data_loader.synthetic_test=16",
+        "trainer.log_every_steps=2",
+        "trainer.max_eval_batches=1",
+        "trainer.augment.canvas=24",
+        "trainer.augment.max_shift=2",
+        *_TINY_MODEL,
+    ]
+    # solo: one Trainer, one process-equivalent
+    solo_ckpt = f"{tmp_path}/solo"
+    cfg = load_config("config", overrides=base + [
+        "seed=7", "trainer.max_epochs=2",
+        f"trainer.log_dir={tmp_path}/solo_logs",
+        f"trainer.checkpoint_dir={solo_ckpt}",
+    ])
+    t = Trainer(cfg)
+    t.run(max_epochs=2)
+    t.ckpt.wait()
+    t.ckpt.close()
+
+    # pooled: a different-seed member trains FIRST (warms/perturbs every
+    # cache the runner shares), then the same recipe as solo
+    pi.train_members(
+        members=[("m0", 2, ["seed=3"]), ("m1", 2, ["seed=7"])],
+        log_root=f"{tmp_path}/pool_logs", ckpt_root=f"{tmp_path}/pool",
+        base_overrides=base)
+
+    def final_params(ckpt_dir):
+        mgr = CheckpointManager(ckpt_dir, monitor="val_loss", mode="min")
+        step = mgr.latest_step
+        p = mgr.restore_params(step=step)
+        mgr.close()
+        return step, p
+
+    s_step, s_params = final_params(solo_ckpt)
+    m_step, m_params = final_params(f"{tmp_path}/pool/m1")
+    assert s_step == m_step
+    flat_s = {"/".join(map(str, k)): v for k, v in
+              _flatten(s_params).items()}
+    flat_m = {"/".join(map(str, k)): v for k, v in
+              _flatten(m_params).items()}
+    assert flat_s.keys() == flat_m.keys()
+    for k in flat_s:
+        np.testing.assert_array_equal(np.asarray(flat_s[k]),
+                                      np.asarray(flat_m[k]), err_msg=k)
+    # and the different-seed member actually differs (no cross-member
+    # state bleed in the other direction either)
+    _, p0 = final_params(f"{tmp_path}/pool/m0")
+    flat_0 = {"/".join(map(str, k)): v for k, v in _flatten(p0).items()}
+    assert any(
+        not np.array_equal(np.asarray(flat_0[k]), np.asarray(flat_s[k]))
+        for k in flat_s)
+
+
+def _flatten(tree, prefix=()):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + (k,)))
+    else:
+        out[prefix] = tree
+    return out
