@@ -32,6 +32,17 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The in-process jit cache does NOT carry across members after all:
+# every Trainer builds fresh closures, so jax's in-memory cache keys
+# miss and each member still pays a remote compile (observed round 5:
+# 11 min/member, f612 wedged >30 min in the degraded remote-compile
+# queue). The persistent DISK cache — which cli.main enables but this
+# runner bypassed — is what actually amortizes: one cold compile per
+# shape group, every later member deserializes locally.
+from scae_tpu.train.cli import _enable_compilation_cache
+
+_enable_compilation_cache()
+
 FLAG = [
     "model=mnist",
     "data_loader.source=digits",

@@ -29,6 +29,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Persistent XLA disk cache (same as cli.main): these tools restore and
+# re-jit full models; through the tunneled TPU a cold remote compile
+# can take many minutes, and mid-round the remote compile service has
+# been observed to degrade to 15-30+ min. Cached executables skip it.
+from scae_tpu.train.cli import _enable_compilation_cache
+
+_enable_compilation_cache()
+
 import jax
 import jax.numpy as jnp
 import numpy as np

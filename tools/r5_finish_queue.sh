@@ -12,7 +12,11 @@ set -u
 cd "$(dirname "$0")/.."
 
 echo "== QUEUE start $(date +%H:%M:%S)"
-bash tools/mnist60k_patches_run.sh 2>&1 | tee logs/r5_queue_patches.log
+if ! grep -q "POOLED" logs/r5_mnist60k/probe_eval_c.log 2>/dev/null; then
+  bash tools/mnist60k_patches_run.sh 2>&1 | tee logs/r5_queue_patches.log
+else
+  echo "== Run C already complete (probe recorded), skipping"
+fi
 
 echo "== pool rebuild (in-process) $(date +%H:%M:%S)"
 mkdir -p logs/r5_pool logs/r5_calibrated
