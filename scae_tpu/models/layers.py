@@ -69,17 +69,25 @@ def choose_activation(name_or_fn) -> Callable:
 
 
 class TorchLinear(nn.Module):
-    """nn.Dense with torch-default weight AND bias initialization."""
+    """nn.Dense with torch-default weight AND bias initialization.
+
+    ``precision`` passes through to the matmul. The classifier heads set
+    HIGHEST: on TPU the default MXU path multiplies in bfloat16, whose
+    ~1e-2 relative error flips argmax on borderline examples vs the
+    float64 sklearn probe those heads are calibrated against (round 5:
+    2 of 297 pooled-ensemble examples). At 40x10 the cost is nil.
+    """
 
     features: int
     use_bias: bool = True
+    precision: jax.lax.Precision | None = None
 
     @nn.compact
     def __call__(self, x):
         in_features = x.shape[-1]
         kernel = self.param("kernel", torch_kernel_init,
                             (in_features, self.features))
-        y = x @ kernel
+        y = jnp.matmul(x, kernel, precision=self.precision)
         if self.use_bias:
             bias = self.param("bias", torch_bias_init(in_features),
                               (self.features,))

@@ -178,9 +178,14 @@ class SCAE(nn.Module):
         prior_cls_prob = posterior_cls_prob = None
         prior_logits = posterior_logits = None
         if self.n_classes is not None:
-            prior_clf = TorchLinear(self.n_classes, name="prior_classifier")
+            # HIGHEST precision: these 40x10 readouts are calibrated
+            # against a float64 probe; the default bf16 MXU matmul flips
+            # borderline argmaxes (see TorchLinear docstring).
+            prior_clf = TorchLinear(self.n_classes, name="prior_classifier",
+                                    precision=jax.lax.Precision.HIGHEST)
             posterior_clf = TorchLinear(self.n_classes,
-                                        name="posterior_classifier")
+                                        name="posterior_classifier",
+                                        precision=jax.lax.Precision.HIGHEST)
 
             prior_logits = prior_clf(stop_grad(obj.caps_presence))
             prior_cls_prob = jax.nn.softmax(prior_logits, axis=-1)

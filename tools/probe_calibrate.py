@@ -61,6 +61,10 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--c-grid", type=float, nargs="+",
                     default=[0.1, 1.0, 10.0, 100.0])
+    ap.add_argument("--c-star", type=float, default=None,
+                    help="skip per-member C selection and fit at this C "
+                         "(use the POOL's shared C* so the baked head "
+                         "reproduces the pooled-probe protocol exactly)")
     args = ap.parse_args(argv)
 
     from sklearn.linear_model import LogisticRegression
@@ -116,7 +120,8 @@ def main(argv=None):
     before = float(np.mean(pval.argmax(-1) == yval))
 
     best = None
-    for C in args.c_grid:
+    c_grid = [args.c_star] if args.c_star is not None else args.c_grid
+    for C in c_grid:
         clf = LogisticRegression(max_iter=5000, C=C).fit(Xtr, ytr)
         acc = float(np.mean(clf.predict(Xval) == yval))
         print(f"[calibrate] C={C}: val {acc:.4f}")
